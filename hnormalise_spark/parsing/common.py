@@ -1,0 +1,276 @@
+"""Common scalar extraction combinators (Column → Column).
+
+Spark re-expressions of /root/reference/src/HNormalise/Common/Parser.hs
+and the shared Torque scalar parsers
+(/root/reference/src/HNormalise/Torque/Parser.hs:62-143,291-311).
+
+Every helper is null-safe: a null or invalid input yields a null
+result, and a matching ``*_valid`` predicate exists where the caller
+must distinguish "absent" from "present but malformed" (the reference
+fails the whole line in the latter case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# regexes (Java flavour)
+
+# [[[DD:]HH:]MM:]SS — parseTorqueWalltime (Torque/Parser.hs:62-89).
+RE_WALLTIME = r"^\d+(:\d+){0,3}$"
+
+# <decimal><b|kb|mb|gb> case-insensitive — parseTorqueMemory (:94-105).
+RE_MEMORY = r"(?i)^(\d+)(b|kb|mb|gb)$"
+
+# NUM[[ARR]|-ARR].master.cluster(.rest)? — parseTorqueJobName (:109-127).
+# master/cluster are take-till-dot; the trailing rest is ignored.
+RE_JOB_NAME = r"^(\d+)(?:\[(\d*)\]|-(\d+))?\.([^.]*)\.([^.]*)"
+
+RE_UNSIGNED = r"^\d+$"
+RE_SIGNED = r"^-?\d+$"
+
+# One element of a Resource_List node list (parseTorqueResourceNodeList,
+# :133-143): digit-leading ⇒ short node (count), else FQDN. ppn suffix
+# optional in both.
+RE_NODE_ELEM = r"^(?:\d+(?::ppn=\d+)?|[^0-9:][^:]*(?::ppn=\d+)?)$"
+
+# One element of an exec_host list (parseTorqueHostList, :291-311):
+# fqdn/corespec where corespec is a comma list of ints and lo-hi ranges.
+RE_HOST_ELEM = r"^[^/]*/\d+(-\d+)?(,\d+(-\d+)?)*$"
+
+# Host value accepted by hostnameOrIPParser (Common/Parser.hs:53-64):
+# IPv4 | IPv6 | lowercase dotted hostname. The reference would leave
+# trailing junk unconsumed and fail on the *next* parser; requiring a
+# full-token match here is the row-level equivalent.
+RE_HOST_OR_IP = (
+    r"^(?:\d{1,3}(?:\.\d{1,3}){3}"
+    r"|[0-9A-Fa-f:]*:[0-9A-Fa-f:.]*"
+    r"|[a-z0-9-]+(?:\.[a-z0-9-]+)*)$"
+)
+
+
+def nullif_empty(c: Column) -> Column:
+    """'' → null (regexp_extract yields '' for a non-participating group)."""
+    return F.when(c != "", c)
+
+
+# ---------------------------------------------------------------------------
+# walltime
+
+
+def walltime_valid(s: Column) -> Column:
+    return s.rlike(RE_WALLTIME)
+
+
+def walltime_struct(s: Column) -> Column:
+    """[[[DD:]HH:]MM:]SS → {days,hours,minutes,seconds,total_seconds}.
+
+    Right-aligned split (the reference nests day→hour→minute→second
+    parsers; splitting and right-aligning is the closed form). Null on
+    invalid input.
+    """
+    parts = F.split(s, ":")
+    n = F.size(parts)
+
+    def at(i: int) -> Column:  # i-th part from the right, 0 if absent
+        return (
+            F.when(n >= i, F.element_at(parts, -i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    secs, mins, hours, days = at(1), at(2), at(3), at(4)
+    total = ((days * 24 + hours) * 60 + mins) * 60 + secs
+    return F.when(
+        walltime_valid(s),
+        F.struct(
+            days.alias("days"),
+            hours.alias("hours"),
+            mins.alias("minutes"),
+            secs.alias("seconds"),
+            total.alias("total_seconds"),
+        ),
+    )
+
+
+def walltime_seconds(s: Column) -> Column:
+    """Walltime string → total seconds (JSON form, Torque/Json.hs:57-58)."""
+    return walltime_struct(s)["total_seconds"]
+
+
+def cputime_seconds(s: Column) -> Column:
+    """parseTorqueCpuTime (:254-256): walltime-or-bare-seconds → seconds.
+
+    Bare seconds is the 1-part walltime, so the walltime form subsumes it.
+    """
+    return walltime_seconds(s)
+
+
+# ---------------------------------------------------------------------------
+# memory
+
+
+def memory_valid(s: Column) -> Column:
+    return s.rlike(RE_MEMORY)
+
+
+def memory_bytes(s: Column) -> Column:
+    """'123kb' → 125952 (×1024ⁿ, case-insensitive unit) else null."""
+    value = F.regexp_extract(s, RE_MEMORY, 1).cast("long")
+    unit = F.lower(F.regexp_extract(s, RE_MEMORY, 2))
+    mult = (
+        F.when(unit == "b", F.lit(1))
+        .when(unit == "kb", F.lit(1024))
+        .when(unit == "mb", F.lit(1024 * 1024))
+        .when(unit == "gb", F.lit(1024 * 1024 * 1024))
+    ).cast("long")
+    return F.when(memory_valid(s), value * mult)
+
+
+# ---------------------------------------------------------------------------
+# integers (kvNumParser / kvSignedParser, Common/Parser.hs:89-96)
+
+
+def unsigned_valid(s: Column) -> Column:
+    return s.rlike(RE_UNSIGNED)
+
+
+def signed_valid(s: Column) -> Column:
+    return s.rlike(RE_SIGNED)
+
+
+def unsigned_long(s: Column) -> Column:
+    return F.when(unsigned_valid(s), s.cast("long"))
+
+
+def signed_long(s: Column) -> Column:
+    return F.when(signed_valid(s), s.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# torque job name
+
+
+def job_name_valid(s: Column) -> Column:
+    """Bare '123456' (no dots) must fail (ParserSpec.hs:142-144)."""
+    return s.rlike(RE_JOB_NAME)
+
+
+def job_name_struct(s: Column) -> Column:
+    """→ {number, array_id, master, cluster}; '[]' ⇒ array_id null
+    (ParserSpec.hs:712-718); '-N' dash form supported (:125-127)."""
+    number = F.regexp_extract(s, RE_JOB_NAME, 1).cast("long")
+    arr_bracket = nullif_empty(F.regexp_extract(s, RE_JOB_NAME, 2))
+    arr_dash = nullif_empty(F.regexp_extract(s, RE_JOB_NAME, 3))
+    array_id = F.coalesce(arr_bracket, arr_dash).cast("long")
+    master = F.regexp_extract(s, RE_JOB_NAME, 4)
+    cluster = F.regexp_extract(s, RE_JOB_NAME, 5)
+    return F.when(
+        job_name_valid(s),
+        F.struct(
+            number.alias("number"),
+            array_id.alias("array_id"),
+            master.alias("master"),
+            cluster.alias("cluster"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resource_List node lists (parseTorqueResourceNodeList, :133-143)
+
+
+def node_list_valid(s: Column) -> Column:
+    return F.forall(F.split(s, r"\+"), lambda e: e.rlike(RE_NODE_ELEM))
+
+
+def node_list(s: Column) -> Column:
+    """'1:ppn=2+n1.dom:ppn=4' → array<{number,name,ppn}> (TSN|TFN sum:
+    exactly one of number/name set per element)."""
+
+    def elem(e: Column) -> Column:
+        is_short = e.rlike(r"^\d")
+        ppn = nullif_empty(F.regexp_extract(e, r":ppn=(\d+)$", 1)).cast("long")
+        number = F.when(is_short, F.regexp_extract(e, r"^(\d+)", 1).cast("long"))
+        name = F.when(~is_short, F.regexp_extract(e, r"^([^:]+)", 1))
+        return F.struct(number.alias("number"), name.alias("name"), ppn.alias("ppn"))
+
+    return F.when(node_list_valid(s), F.transform(F.split(s, r"\+"), elem))
+
+
+# ---------------------------------------------------------------------------
+# exec_host lists (parseTorqueHostList + aggregateHosts, :278-311)
+
+
+def host_list_valid(s: Column) -> Column:
+    # An empty value parses to [] in the reference (sepBy matches zero).
+    return (s == "") | F.forall(F.split(s, r"\+"), lambda e: e.rlike(RE_HOST_ELEM))
+
+
+def host_list(s: Column) -> Column:
+    """'n1/0-1,4+n2/0' → aggregated array<{name, cores:array<int>}>.
+
+    Ranges are expanded to the full enumeration (golden [0..15] at
+    test/HNormalise/Torque/ParserSpec.hs:505-527); entries for the same
+    host are merged with cores sorted (aggregateHosts, :278-286).
+    """
+
+    def cores_of(spec: Column) -> Column:
+        def piece(c: Column) -> Column:
+            lo = F.split(c, "-")[0].cast("int")
+            hi = F.element_at(F.split(c, "-"), -1).cast("int")
+            # reference [lo..hi] is empty when lo > hi
+            return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+
+        return F.flatten(F.transform(F.split(spec, ","), piece))
+
+    raw_hosts = F.transform(
+        F.split(s, r"\+"),
+        lambda e: F.struct(
+            F.regexp_extract(e, r"^([^/]*)/", 1).alias("name"),
+            cores_of(F.regexp_extract(e, r"^[^/]*/(.*)$", 1)).alias("cores"),
+        ),
+    )
+    names = F.array_sort(F.array_distinct(F.transform(raw_hosts, lambda h: h["name"])))
+    merged = F.transform(
+        names,
+        lambda nm: F.struct(
+            nm.alias("name"),
+            F.array_sort(
+                F.flatten(
+                    F.transform(
+                        F.filter(raw_hosts, lambda h: h["name"] == nm),
+                        lambda h: h["cores"],
+                    )
+                )
+            ).alias("cores"),
+        ),
+    )
+    empty = F.array().cast("array<struct<name:string,cores:array<int>>>")
+    return F.when(s == "", empty).when(host_list_valid(s), merged)
+
+
+# ---------------------------------------------------------------------------
+# KV body → map (order-insensitive closed form of the reference's
+# ordered-with-permutation-fallback parse, Torque/Parser.hs:170-248)
+
+
+def kv_map(body: Column) -> Column:
+    """Space-separated ``k=v`` tokens → map<string,string>.
+
+    Splits each token on the *first* '='; tokens without '=' become
+    null-valued keys (distinguishable from ``k=`` which maps to '').
+    """
+    return F.str_to_map(body, F.lit(" "), F.lit("="))
+
+
+def kv_has(kv: Column, key: str) -> Column:
+    """Key present *with* an '=' (kvTextParser requires one)."""
+    return F.map_contains_key(kv, F.lit(key)) & F.element_at(kv, F.lit(key)).isNotNull()
+
+
+def kv_get(kv: Column, key: str) -> Column:
+    return F.element_at(kv, F.lit(key))

@@ -1,0 +1,51 @@
+"""Snoopy exec-log parser as Spark Column expressions.
+
+Re-expression of /root/reference/src/HNormalise/Snoopy/Parser.hs:55-77:
+``snoopy[PID]<skip-to-[>[uid:N [username:U] sid:N tty:T cwd:C
+filename:F]: CMD``. Appname is "snoopy".
+
+* executable (filename:) is take-till-']' so it may contain spaces;
+  tty/cwd/username are take-till-space.
+* command is everything after ``]:`` with leading whitespace stripped.
+* A present-but-empty ``username:`` is folded into null (the reference
+  would yield Just ""; never occurs in practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hnormalise_spark.parsing import common as C
+from hnormalise_spark.schemas import SNOOPY_PAYLOAD
+
+RE_SNOOPY = (
+    r"^snoopy\[(\d+)\][^\[]*\[uid:(\d+)"
+    r"(?:\s*username:(\S*))?"
+    r"\s*sid:(\d+)\s*tty:(\S*)\s*cwd:(\S*)\s*filename:([^\]]*)\]:\s*((?s:.*))$"
+)
+
+
+def parse_snoopy(msg: Column) -> tuple[Column, Column, Column]:
+    """msg → (SNOOPY_PAYLOAD struct, parser name, parse_ok).
+
+    Caller gates on ``msg.startswith('snoopy[')``.
+    """
+    ok = msg.rlike(RE_SNOOPY)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(msg, RE_SNOOPY, i)
+
+    payload = F.struct(
+        g(1).cast("int").alias("pid"),
+        g(2).cast("int").alias("uid"),
+        C.nullif_empty(g(3)).alias("username"),
+        g(4).cast("int").alias("sid"),
+        g(5).alias("tty"),
+        g(6).alias("cwd"),
+        g(7).alias("executable"),
+        g(8).alias("command"),
+    )
+    payload = F.when(ok, payload).otherwise(F.lit(None).cast(SNOOPY_PAYLOAD))
+    parser = F.when(ok, F.lit("snoopy"))
+    return payload, parser, ok
