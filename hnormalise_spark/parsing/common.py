@@ -36,9 +36,19 @@ RE_SIGNED = r"^-?\d+$"
 # optional in both.
 RE_NODE_ELEM = r"^(?:\d+(?::ppn=\d+)?|[^0-9:][^:]*(?::ppn=\d+)?)$"
 
+# Whole '+'-separated node list as ONE anchored regex (possessive
+# quantifiers — no backtracking, stays in whole-stage codegen; the
+# split+forall form is a CodegenFallback HOF and ~1000× slower/row).
+_NODE_ELEM_P = r"(?:\d++(?::ppn=\d++)?+|[^0-9:+][^:+]*+(?::ppn=\d++)?+)"
+RE_NODE_LIST = rf"^{_NODE_ELEM_P}(?:\+{_NODE_ELEM_P})*+$"
+
 # One element of an exec_host list (parseTorqueHostList, :291-311):
 # fqdn/corespec where corespec is a comma list of ints and lo-hi ranges.
 RE_HOST_ELEM = r"^[^/]*/\d+(-\d+)?(,\d+(-\d+)?)*$"
+
+# Whole exec_host value as one anchored possessive regex.
+_HOST_ELEM_P = r"[^/+]*+/\d++(?:-\d++)?+(?:,\d++(?:-\d++)?+)*+"
+RE_HOST_LIST = rf"^{_HOST_ELEM_P}(?:\+{_HOST_ELEM_P})*+$"
 
 # Host value accepted by hostnameOrIPParser (Common/Parser.hs:53-64):
 # IPv4 | IPv6 | lowercase dotted hostname. The reference would leave
@@ -182,7 +192,7 @@ def job_name_struct(s: Column) -> Column:
 
 
 def node_list_valid(s: Column) -> Column:
-    return F.forall(F.split(s, r"\+"), lambda e: e.rlike(RE_NODE_ELEM))
+    return s.rlike(RE_NODE_LIST)
 
 
 def node_list(s: Column) -> Column:
@@ -205,7 +215,7 @@ def node_list(s: Column) -> Column:
 
 def host_list_valid(s: Column) -> Column:
     # An empty value parses to [] in the reference (sepBy matches zero).
-    return (s == "") | F.forall(F.split(s, r"\+"), lambda e: e.rlike(RE_HOST_ELEM))
+    return (s == "") | s.rlike(RE_HOST_LIST)
 
 
 def host_list(s: Column) -> Column:

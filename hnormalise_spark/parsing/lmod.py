@@ -10,6 +10,10 @@ The jobid is a sum (Lmod/Internal.hs:56-61): a torque-style job name
 is Nothing (maybeOption, test/HNormalise/Lmod/ParserSpec.hs:76-90). A
 non-empty value matching neither fails the whole line (the reference's
 ``char ','`` after the jobid would fail).
+
+Regex group extractions are materialized as intermediate columns so
+each regex runs a bounded number of times per row and the plan stays
+inside whole-stage codegen.
 """
 
 from __future__ import annotations
@@ -25,70 +29,85 @@ RE_LOAD = _INFO + r"\s*userload=((?i:yes|no)),\s*module=([^/]*)/([^,]*),\s*fn=(\
 RE_COMMAND = _INFO + r"\s*cmd=([^,]*),\s*args=(\S*)"
 
 
-def _jobid(raw: Column) -> tuple[Column, Column]:
-    """jobid raw text → (LMOD_JOB_ID struct, valid)."""
-    torque_name = C.job_name_struct(raw)
+def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
+    is_load = F.when(gate, msg.rlike(RE_LOAD)).otherwise(F.lit(False))
+    layer1 = {"_lm_is_load": is_load}
+    is_load_c = F.col("_lm_is_load")
+    is_cmd = F.when(gate & ~is_load_c, msg.rlike(RE_COMMAND)).otherwise(F.lit(False))
+    layer2 = {"_lm_is_cmd": is_cmd}
+
+    def gl(i: int) -> Column:
+        return F.when(F.col("_lm_is_load"), F.regexp_extract(msg, RE_LOAD, i))
+
+    def gc(i: int) -> Column:
+        return F.when(F.col("_lm_is_cmd"), F.regexp_extract(msg, RE_COMMAND, i))
+
+    def pick(i: int) -> Column:
+        return F.coalesce(gl(i), gc(i))
+
+    layer3 = {
+        "_lm_username": pick(1),
+        "_lm_cluster": pick(2),
+        "_lm_jobid_raw": pick(3),
+        "_lm_userload": gl(4),
+        "_lm_mod_name": gl(5),
+        "_lm_mod_version": gl(6),
+        "_lm_fn": gl(7),
+        "_lm_cmd": gc(4),
+        "_lm_args": gc(5),
+    }
+    return [layer1, layer2, layer3]
+
+
+def result() -> tuple[Column, Column, Column]:
+    is_load = F.col("_lm_is_load")
+    is_cmd = F.col("_lm_is_cmd")
+    raw = F.col("_lm_jobid_raw")
+
     is_torque = C.job_name_valid(raw)
     is_slurm = raw.rlike(r"^\d+$")
-    struct = F.when(
+    jobid = F.when(
         is_torque,
-        F.struct(F.lit(None).cast("long").alias("number"), torque_name.alias("torque")),
+        F.struct(
+            F.lit(None).cast("long").alias("number"),
+            C.job_name_struct(raw).alias("torque"),
+        ),
     ).when(
         is_slurm,
         F.struct(
             raw.cast("long").alias("number"),
-            F.lit(None).cast(
-                "struct<number:long,array_id:long,master:string,cluster:string>"
-            ).alias("torque"),
+            F.lit(None)
+            .cast("struct<number:long,array_id:long,master:string,cluster:string>")
+            .alias("torque"),
         ),
     )
-    valid = (raw == "") | is_torque | is_slurm
-    return struct, valid
+    jobid_valid = F.coalesce((raw == "") | is_torque | is_slurm, F.lit(False))
 
-
-def parse_lmod(msg: Column) -> tuple[Column, Column, Column]:
-    """msg → (LMOD_PAYLOAD struct, parser name, parse_ok).
-
-    Caller gates on ``msg.startswith('lmod::')``.
-    """
-    is_load = msg.rlike(RE_LOAD)
-    is_cmd = ~is_load & msg.rlike(RE_COMMAND)
-
-    def gl(i: int) -> Column:
-        return F.regexp_extract(msg, RE_LOAD, i)
-
-    def gc(i: int) -> Column:
-        return F.regexp_extract(msg, RE_COMMAND, i)
-
-    def info_of(g) -> Column:
-        jobid_struct, _ = _jobid(g(3))
-        return F.struct(
-            g(1).alias("username"),
-            g(2).alias("cluster"),
-            jobid_struct.alias("jobid"),
-        )
-
-    _, jobid_valid_load = _jobid(gl(3))
-    _, jobid_valid_cmd = _jobid(gc(3))
-    jobid_valid = F.when(is_load, jobid_valid_load).otherwise(jobid_valid_cmd)
-
+    info = F.struct(
+        F.col("_lm_username").alias("username"),
+        F.col("_lm_cluster").alias("cluster"),
+        jobid.alias("jobid"),
+    )
     load_payload = F.struct(
         F.lit("load").alias("event"),
-        info_of(gl).alias("info"),
-        (F.lower(gl(4)) == "yes").alias("userload"),
-        F.struct(gl(5).alias("name"), gl(6).alias("version")).alias("module"),
-        gl(7).alias("filename"),
+        info.alias("info"),
+        (F.lower(F.col("_lm_userload")) == "yes").alias("userload"),
+        F.struct(
+            F.col("_lm_mod_name").alias("name"),
+            F.col("_lm_mod_version").alias("version"),
+        ).alias("module"),
+        F.col("_lm_fn").alias("filename"),
         F.lit(None).cast("string").alias("command"),
         F.lit(None).cast("string").alias("arguments"),
     )
     cmd_payload = F.struct(
         F.lit("command").alias("event"),
-        info_of(gc).alias("info"),
+        info.alias("info"),
         F.lit(None).cast("boolean").alias("userload"),
         F.lit(None).cast("struct<name:string,version:string>").alias("module"),
         F.lit(None).cast("string").alias("filename"),
-        gc(4).alias("command"),
-        gc(5).alias("arguments"),
+        F.col("_lm_cmd").alias("command"),
+        F.col("_lm_args").alias("arguments"),
     )
 
     ok = (is_load | is_cmd) & jobid_valid
@@ -101,3 +120,9 @@ def parse_lmod(msg: Column) -> tuple[Column, Column, Column]:
         ok & is_cmd, F.lit("lmod_command")
     )
     return payload, parser, ok
+
+
+INTERMEDIATE_COLS = [
+    "_lm_is_load", "_lm_is_cmd", "_lm_username", "_lm_cluster", "_lm_jobid_raw",
+    "_lm_userload", "_lm_mod_name", "_lm_mod_version", "_lm_fn", "_lm_cmd", "_lm_args",
+]

@@ -31,87 +31,80 @@ RE_UDP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?)PROTO=UDP\s+SPT=(
 RE_ICMP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?) PROTO=ICMP"
 
 
-def _null_str() -> Column:
-    return F.lit(None).cast("string")
-
-
-def _null_long() -> Column:
-    return F.lit(None).cast("long")
-
-
-def parse_shorewall(msg: Column) -> tuple[Column, Column, Column]:
-    """msg → (SHOREWALL_PAYLOAD struct, parser name, parse_ok).
-
-    Caller gates on ``msg.startswith('kernel:: Shorewall:')``.
-    """
-    is_tcp = msg.rlike(RE_TCP)
-    is_udp = ~is_tcp & msg.rlike(RE_UDP)
-    is_icmp = ~is_tcp & ~is_udp & msg.rlike(RE_ICMP)
-
-    def host_ok(c: Column) -> Column:
-        return c.rlike(C.RE_HOST_OR_IP)
+def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
+    layer1 = {
+        "_sw_is_tcp": F.when(gate, msg.rlike(RE_TCP)).otherwise(F.lit(False)),
+    }
+    layer2 = {
+        "_sw_is_udp": F.when(
+            gate & ~F.col("_sw_is_tcp"), msg.rlike(RE_UDP)
+        ).otherwise(F.lit(False)),
+    }
+    layer3 = {
+        "_sw_is_icmp": F.when(
+            gate & ~F.col("_sw_is_tcp") & ~F.col("_sw_is_udp"), msg.rlike(RE_ICMP)
+        ).otherwise(F.lit(False)),
+    }
 
     def gt(i: int) -> Column:
-        return F.regexp_extract(msg, RE_TCP, i)
+        return F.when(F.col("_sw_is_tcp"), F.regexp_extract(msg, RE_TCP, i))
 
     def gu(i: int) -> Column:
-        return F.regexp_extract(msg, RE_UDP, i)
+        return F.when(F.col("_sw_is_udp"), F.regexp_extract(msg, RE_UDP, i))
 
     def gi(i: int) -> Column:
-        return F.regexp_extract(msg, RE_ICMP, i)
+        return F.when(F.col("_sw_is_icmp"), F.regexp_extract(msg, RE_ICMP, i))
 
-    tcp = F.struct(
-        gt(1).alias("fwrule"),
-        gt(2).alias("fwtarget"),
-        gt(3).alias("fwin"),
-        _null_str().alias("fwout"),
-        gt(5).alias("fwmac"),
-        gt(6).alias("fwsrc"),
-        gt(7).alias("fwdst"),
-        F.lit("TCP").alias("fwproto"),
-        gt(8).cast("long").alias("fwspt"),
-        gt(9).cast("long").alias("fwdpt"),
-    )
-    udp = F.struct(
-        gu(1).alias("fwrule"),
-        gu(2).alias("fwtarget"),
-        gu(3).alias("fwin"),
-        gu(4).alias("fwout"),
-        _null_str().alias("fwmac"),
-        gu(5).alias("fwsrc"),
-        gu(6).alias("fwdst"),
-        F.lit("UDP").alias("fwproto"),
-        gu(7).cast("long").alias("fwspt"),
-        gu(8).cast("long").alias("fwdpt"),
-    )
-    icmp = F.struct(
-        gi(1).alias("fwrule"),
-        gi(2).alias("fwtarget"),
-        gi(3).alias("fwin"),
-        gi(4).alias("fwout"),
-        _null_str().alias("fwmac"),
-        gi(5).alias("fwsrc"),
-        gi(6).alias("fwdst"),
-        F.lit("ICMP").alias("fwproto"),
-        _null_long().alias("fwspt"),
-        _null_long().alias("fwdpt"),
-    )
+    def pick(t, u, i) -> Column:
+        return F.coalesce(
+            gt(t) if t else F.lit(None).cast("string"),
+            gu(u) if u else F.lit(None).cast("string"),
+            gi(i) if i else F.lit(None).cast("string"),
+        )
 
-    ok = (
-        F.when(is_tcp, host_ok(gt(6)) & host_ok(gt(7)))
-        .when(is_udp, host_ok(gu(5)) & host_ok(gu(6)))
-        .when(is_icmp, host_ok(gi(5)) & host_ok(gi(6)))
-        .otherwise(F.lit(False))
+    layer4 = {
+        "_sw_rule": pick(1, 1, 1),
+        "_sw_target": pick(2, 2, 2),
+        "_sw_in": pick(3, 3, 3),
+        "_sw_out": pick(0, 4, 4),
+        "_sw_mac": gt(5),
+        "_sw_src": pick(6, 5, 5),
+        "_sw_dst": pick(7, 6, 6),
+        "_sw_spt": pick(8, 7, 0),
+        "_sw_dpt": pick(9, 8, 0),
+    }
+    return [layer1, layer2, layer3, layer4]
+
+
+def result() -> tuple[Column, Column, Column]:
+    is_tcp, is_udp, is_icmp = (
+        F.col("_sw_is_tcp"), F.col("_sw_is_udp"), F.col("_sw_is_icmp")
     )
-    payload = (
-        F.when(ok & is_tcp, tcp)
-        .when(ok & is_udp, udp)
-        .when(ok & is_icmp, icmp)
-        .otherwise(F.lit(None).cast(SHOREWALL_PAYLOAD))
+    matched = is_tcp | is_udp | is_icmp
+    ok = matched & F.col("_sw_src").rlike(C.RE_HOST_OR_IP) & F.col("_sw_dst").rlike(
+        C.RE_HOST_OR_IP
     )
-    parser = (
-        F.when(ok & is_tcp, F.lit("shorewall_tcp"))
-        .when(ok & is_udp, F.lit("shorewall_udp"))
-        .when(ok & is_icmp, F.lit("shorewall_icmp"))
+    proto = (
+        F.when(is_tcp, "TCP").when(is_udp, "UDP").when(is_icmp, "ICMP")
     )
+    payload = F.struct(
+        F.col("_sw_rule").alias("fwrule"),
+        F.col("_sw_target").alias("fwtarget"),
+        F.col("_sw_in").alias("fwin"),
+        F.col("_sw_out").alias("fwout"),
+        F.col("_sw_mac").alias("fwmac"),
+        F.col("_sw_src").alias("fwsrc"),
+        F.col("_sw_dst").alias("fwdst"),
+        proto.alias("fwproto"),
+        F.col("_sw_spt").cast("long").alias("fwspt"),
+        F.col("_sw_dpt").cast("long").alias("fwdpt"),
+    )
+    payload = F.when(ok, payload).otherwise(F.lit(None).cast(SHOREWALL_PAYLOAD))
+    parser = F.when(ok, F.concat(F.lit("shorewall_"), F.lower(proto)))
     return payload, parser, ok
+
+
+INTERMEDIATE_COLS = [
+    "_sw_is_tcp", "_sw_is_udp", "_sw_is_icmp", "_sw_rule", "_sw_target",
+    "_sw_in", "_sw_out", "_sw_mac", "_sw_src", "_sw_dst", "_sw_spt", "_sw_dpt",
+]

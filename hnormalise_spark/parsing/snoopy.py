@@ -26,26 +26,30 @@ RE_SNOOPY = (
 )
 
 
-def parse_snoopy(msg: Column) -> tuple[Column, Column, Column]:
-    """msg → (SNOOPY_PAYLOAD struct, parser name, parse_ok).
-
-    Caller gates on ``msg.startswith('snoopy[')``.
-    """
-    ok = msg.rlike(RE_SNOOPY)
+def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
+    layer1 = {"_sn_ok": F.when(gate, msg.rlike(RE_SNOOPY)).otherwise(F.lit(False))}
 
     def g(i: int) -> Column:
-        return F.regexp_extract(msg, RE_SNOOPY, i)
+        return F.when(F.col("_sn_ok"), F.regexp_extract(msg, RE_SNOOPY, i))
 
+    layer2 = {f"_sn_g{i}": g(i) for i in range(1, 9)}
+    return [layer1, layer2]
+
+
+def result() -> tuple[Column, Column, Column]:
+    ok = F.col("_sn_ok")
     payload = F.struct(
-        g(1).cast("int").alias("pid"),
-        g(2).cast("int").alias("uid"),
-        C.nullif_empty(g(3)).alias("username"),
-        g(4).cast("int").alias("sid"),
-        g(5).alias("tty"),
-        g(6).alias("cwd"),
-        g(7).alias("executable"),
-        g(8).alias("command"),
+        F.col("_sn_g1").cast("int").alias("pid"),
+        F.col("_sn_g2").cast("int").alias("uid"),
+        C.nullif_empty(F.col("_sn_g3")).alias("username"),
+        F.col("_sn_g4").cast("int").alias("sid"),
+        F.col("_sn_g5").alias("tty"),
+        F.col("_sn_g6").alias("cwd"),
+        F.col("_sn_g7").alias("executable"),
+        F.col("_sn_g8").alias("command"),
     )
     payload = F.when(ok, payload).otherwise(F.lit(None).cast(SNOOPY_PAYLOAD))
-    parser = F.when(ok, F.lit("snoopy"))
-    return payload, parser, ok
+    return payload, F.when(ok, F.lit("snoopy")), ok
+
+
+INTERMEDIATE_COLS = ["_sn_ok"] + [f"_sn_g{i}" for i in range(1, 9)]

@@ -15,7 +15,12 @@ family whose (expensive) extraction expressions run for a row — the
 vectorized equivalent of the reference's ordered alternatives, and the
 README's suggested tag-based pre-routing (README.md:62-66) built in.
 
-Everything is JVM whole-stage-codegen; no Python runs per row.
+Physical-plan shape: the parse is a chain of Projects over materialized
+intermediate columns (each family's `layers()`), so shared subtrees
+(KV maps, regex match flags) evaluate once per row and the stage stays
+within whole-stage codegen. No shuffle anywhere in the parse; the only
+shuffle in the whole pipeline is the (tiny) counts aggregate.
+Everything is JVM expressions; no Python runs per row.
 """
 
 from __future__ import annotations
@@ -23,33 +28,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hnormalise_spark.parsing.envelope import parse_envelope
-from hnormalise_spark.parsing.lmod import parse_lmod
-from hnormalise_spark.parsing.shorewall import parse_shorewall
-from hnormalise_spark.parsing.snoopy import parse_snoopy
-from hnormalise_spark.parsing.torque import parse_torque
-from hnormalise_spark.schemas import (
-    LMOD_PAYLOAD,
-    SHOREWALL_PAYLOAD,
-    SNOOPY_PAYLOAD,
-    TORQUE_PAYLOAD,
-)
+from hnormalise_spark.parsing import lmod, shorewall, snoopy, torque
+from hnormalise_spark.parsing.envelope import RE_ENVELOPE, RE_RFC3339
 from hnormalise_spark.tokenizer import detokenize_col
 
-# family → (prefix literal, appname, parse fn, payload schema); order =
-# reference dispatch order (prefixes are mutually exclusive, so the
-# when-cascade preserves first-match-wins exactly).
+# family → (module, prefix literal, appname); order = reference dispatch
+# order (prefixes are mutually exclusive, so the when-cascade preserves
+# first-match-wins exactly).
 FAMILIES = [
-    ("lmod", "lmod::", "lmod", parse_lmod, LMOD_PAYLOAD),
-    ("shorewall", "kernel:: Shorewall:", "kernel", parse_shorewall, SHOREWALL_PAYLOAD),
-    ("snoopy", "snoopy[", "snoopy", parse_snoopy, SNOOPY_PAYLOAD),
-    ("torque", "torque: ", "torque", parse_torque, TORQUE_PAYLOAD),
+    ("lmod", lmod, "lmod::", "lmod"),
+    ("shorewall", shorewall, "kernel:: Shorewall:", "kernel"),
+    ("snoopy", snoopy, "snoopy[", "snoopy"),
+    ("torque", torque, "torque: ", "torque"),
 ]
+
+_ALL_INTERMEDIATES = (
+    ["_line", "_env_ok", "_family"]
+    + torque.INTERMEDIATE_COLS
+    + lmod.INTERMEDIATE_COLS
+    + shorewall.INTERMEDIATE_COLS
+    + snoopy.INTERMEDIATE_COLS
+)
 
 
 def _family_col(msg: Column) -> Column:
     out = None
-    for fam, prefix, _, _, _ in FAMILIES:
+    for fam, _, prefix, _ in FAMILIES:
         cond = msg.startswith(prefix)
         out = F.when(cond, F.lit(fam)) if out is None else out.when(cond, F.lit(fam))
     return out
@@ -64,45 +68,68 @@ def normalise(df: DataFrame, line_col: str = "raw") -> DataFrame:
     """
     # Trailing newline tolerance (the reference's line framing strips
     # it; parsers also tolerate it as unconsumed input, HNormalise.hs:94).
-    line = F.regexp_replace(F.col(line_col), r"[\r\n]+$", "")
+    df = df.withColumn("_line", F.regexp_replace(F.col(line_col), r"[\r\n]+$", ""))
+    line = F.col("_line")
 
-    env = parse_envelope(line)
+    # --- envelope (parseRsyslogLogstashString, Parser.hs:94-131) ------
+    def g(i: int) -> Column:
+        return F.regexp_extract(line, RE_ENVELOPE, i)
+
+    def opt_int(c: Column) -> Column:
+        return F.when(c != "", c.cast("int"))
+
     df = df.withColumns(
         {
-            "pri": env["pri"],
-            "version": env["version"],
-            "timereported": env["timereported"],
-            "timereported_raw": env["timereported_raw"],
-            "hostname": env["hostname"],
-            "syslogtag": env["syslogtag"],
-            "msg": env["msg"],
-            "_env_ok": env["env_ok"],
+            "pri": opt_int(g(1)),
+            "version": opt_int(g(2)),
+            "timereported_raw": g(3),
+            "hostname": g(4),
+            "syslogtag": g(5),
+            "msg": g(6),
+            "_env_ok": line.rlike(RE_ENVELOPE),
         }
     )
+    ts = F.when(
+        F.col("timereported_raw").rlike(RE_RFC3339),
+        F.col("timereported_raw").cast("timestamp"),
+    )
+    df = df.withColumns(
+        {
+            "timereported": ts,
+            "_env_ok": F.col("_env_ok") & ts.isNotNull(),
+            "_family": _family_col(F.col("msg")),
+        }
+    )
+    # Blank envelope fields on envelope failure.
+    env_fields = ["pri", "version", "timereported", "timereported_raw", "hostname", "syslogtag", "msg"]
+    df = df.withColumns(
+        {c: F.when(F.col("_env_ok"), F.col(c)) for c in env_fields}
+    )
 
+    # --- per-family layered parse -------------------------------------
     msg = F.col("msg")
-    fam = _family_col(msg)
-    df = df.withColumn("_family", fam)
+    for fam_name, mod, _, _ in FAMILIES:
+        gate = F.col("_family") == fam_name
+        for layer in mod.layers(gate, msg):
+            df = df.withColumns(layer)
 
     payload_cols: dict[str, Column] = {}
     parser_col: Column = F.lit(None).cast("string")
     ok_col: Column = F.lit(False)
     app_col: Column = F.lit(None).cast("string")
-    for fam_name, _, appname, parse_fn, schema in FAMILIES:
+    for fam_name, mod, _, appname in FAMILIES:
         gate = F.col("_family") == fam_name
-        payload, parser, ok = parse_fn(msg)
-        payload_cols[fam_name] = F.when(gate, payload).otherwise(
-            F.lit(None).cast(schema)
-        )
+        payload, parser, ok = mod.result()
+        payload_cols[fam_name] = payload
         parser_col = F.when(gate, parser).otherwise(parser_col)
         ok_col = F.when(gate, ok).otherwise(ok_col)
         app_col = F.when(gate, F.lit(appname)).otherwise(app_col)
 
     df = df.withColumns(
         {
-            "appname": app_col,
-            "parser": parser_col,
             "parse_ok": F.col("_env_ok") & F.coalesce(ok_col, F.lit(False)),
+            "_parser_raw": parser_col,
+            "_appname_raw": app_col,
             **payload_cols,
         }
     )
@@ -110,12 +137,12 @@ def normalise(df: DataFrame, line_col: str = "raw") -> DataFrame:
     # (getJsonKey runs on the parse result, Parser.hs:82-88).
     df = df.withColumns(
         {
-            "appname": F.when(F.col("parse_ok"), F.col("appname")),
+            "appname": F.when(F.col("parse_ok"), F.col("_appname_raw")),
             "jsonkey": F.when(F.col("parse_ok"), F.col("_family")),
-            "parser": F.when(F.col("parse_ok"), F.col("parser")),
+            "parser": F.when(F.col("parse_ok"), F.col("_parser_raw")),
         }
     )
-    return df.drop("_env_ok", "_family")
+    return df.drop(*_ALL_INTERMEDIATES, "_parser_raw", "_appname_raw")
 
 
 def normalise_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
