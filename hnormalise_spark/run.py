@@ -1,0 +1,69 @@
+"""spark-submit entry point.
+
+Batch:      spark-submit --py-files hnormalise_spark.zip -m ... run.py \
+                --input /data/raw_sequences --output /data/out
+Streaming:  ... --streaming
+Generate:   ... --generate 1000000 --output /data/raw_sequences
+
+Designed for multi-executor clusters: parallelism comes from input
+splits (maxPartitionBytes) — the parse has no shuffle; only the counts
+aggregate shuffles (a handful of groups). ``--repartition`` is the
+explicit lever when input files are too few/skewed for the cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="hnormalise-spark pipeline")
+    ap.add_argument("--input", help="input parquet dir (doc_id,tokens,n_tok,source)")
+    ap.add_argument("--output", required=True, help="output dir for sinks")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--generate", type=int, default=0, help="generate N synthetic rows to --output")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--repartition", type=int, default=0, help="explicit repartition before parse")
+    ap.add_argument("--enrich", action="store_true", help="broadcast-join host/cluster/user metadata")
+    ap.add_argument("--no-json", action="store_true", help="skip reference-shaped JSON line in success sink")
+    args = ap.parse_args(argv)
+
+    from hnormalise_spark import get_spark
+    from hnormalise_spark.pipeline import normalise_tokens
+    from hnormalise_spark import sinks, datagen, enrich, streaming
+
+    spark = get_spark(master=args.master, app_name="hnormalise-run")
+    t0 = time.time()
+
+    if args.generate:
+        datagen.write_corpus(spark, args.output, args.generate)
+        print(f"generated {args.generate} rows in {time.time()-t0:.1f}s -> {args.output}")
+        return 0
+
+    if not args.input:
+        ap.error("--input required unless --generate")
+
+    if args.streaming:
+        q = streaming.start_pipeline(spark, args.input, args.output, available_now=True)
+        q.awaitTermination()
+        print(f"streaming drained in {time.time()-t0:.1f}s")
+        return 0
+
+    df = spark.read.parquet(args.input)
+    if args.repartition:
+        df = df.repartition(args.repartition)
+    parsed = sinks.with_lineage(normalise_tokens(df))
+    if args.enrich:
+        hm, cm, um = enrich.synth_lookup_tables(spark)
+        parsed = enrich.enrich(parsed, hm, cm, um)
+    paths = sinks.run_batch(spark, parsed, args.output, json_line=not args.no_json)
+    n = spark.read.parquet(paths["counts"]).agg({"n": "sum"}).collect()[0][0]
+    dt = time.time() - t0
+    print(f"normalised {n} lines in {dt:.1f}s ({n/dt:.0f} lines/s) -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

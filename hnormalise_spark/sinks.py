@@ -1,0 +1,127 @@
+"""Sinks: the success/failure fan-out + counts, batch and staged.
+
+The reference pushes each record to a success or failure socket and
+keeps running counters (src/HNormalise/Util.hs:74-98). At Spark scale
+the equivalent contract is: two routed tables whose row sets partition
+the input, plus a counts table — all derived from ONE parse pass.
+
+Scale design (SURVEY §4b): the parsed result is written once to a
+*staging* table; the success/failure/counts sinks are then cheap
+filtered scans of staging with parquet predicate pushdown on
+``parse_ok`` (the fan-out never re-parses). The staging write doubles
+as the checkpoint: re-running any sink is idempotent, and a resumed
+job skips straight to the unfinished sink (run.py).
+
+Success rows keep the typed payload structs and (optionally) the
+reference-shaped JSON line; failure rows carry the ORIGINAL input
+untouched (HNormalise.hs:69-73) — token-array equality is preserved
+because we never rewrite `tokens`/`raw`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hnormalise_spark import jsonout
+from hnormalise_spark.pipeline import counts as _counts
+
+SUCCESS_COLS = [
+    "doc_id", "source", "pri", "version", "timereported", "timereported_raw",
+    "hostname", "syslogtag", "msg", "appname", "parser", "jsonkey",
+    "torque", "lmod", "shorewall", "snoopy",
+]
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """Per-partition lineage stamps (north_rule): partition id +
+    input file, so every output row is traceable to its input split."""
+    return df.withColumns(
+        {
+            "lineage_partition": F.spark_partition_id(),
+            "lineage_file": F.input_file_name(),
+        }
+    )
+
+
+def with_observed_metrics(parsed: DataFrame, name: str = "hnormalise_metrics") -> DataFrame:
+    """Spark observed metrics — the increaseCount (Util.hs:93-98)
+    equivalent: success/fail counters collected with the job, no extra
+    pass. Read them from the QueryExecutionListener or, in streaming,
+    from StreamingQueryProgress.observedMetrics."""
+    return parsed.observe(
+        name,
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("parse_ok"), 1)).alias("success"),
+        F.count(F.when(~F.col("parse_ok"), 1)).alias("fail"),
+    )
+
+
+def write_staging(parsed: DataFrame, path: str, json_line: bool = False) -> None:
+    """One-pass write of the parsed result, partitioned by parse_ok so
+    the success/failure scans are partition-pruned (not even a filter)."""
+    out = with_lineage(parsed) if "lineage_partition" not in parsed.columns else parsed
+    if json_line:
+        out = out.withColumn(
+            "json", F.when(F.col("parse_ok"), jsonout.encode_normalised())
+        )
+    # Partition directories by route so the sink scans are pruned; keep
+    # parse_ok itself as a data column (partition values read back as
+    # strings otherwise).
+    out = out.withColumn(
+        "route", F.when(F.col("parse_ok"), "success").otherwise("failure")
+    )
+    out.write.mode("overwrite").partitionBy("route").parquet(path)
+
+
+def write_success(staging: DataFrame, path: str, json_line: bool = True) -> None:
+    ok = staging.filter(F.col("parse_ok"))
+    cols = [c for c in SUCCESS_COLS if c in staging.columns]
+    if json_line:
+        if "json" in staging.columns:
+            cols.append("json")
+        else:
+            ok = ok.withColumn("json", jsonout.encode_normalised())
+            cols.append("json")
+    lineage = [c for c in ("lineage_partition", "lineage_file") if c in ok.columns]
+    ok.select(*cols, *lineage).write.mode("overwrite").partitionBy().parquet(path)
+
+
+def write_failure(staging: DataFrame, path: str, original_cols: tuple[str, ...] = ("doc_id", "source", "tokens", "n_tok", "raw")) -> None:
+    cols = [c for c in original_cols if c in staging.columns]
+    lineage = [c for c in ("lineage_partition", "lineage_file") if c in staging.columns]
+    staging.filter(~F.col("parse_ok")).select(*cols, *lineage).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def write_counts(staging: DataFrame, path: str) -> None:
+    _counts(staging).write.mode("overwrite").parquet(path)
+
+
+def run_batch(
+    spark: SparkSession,
+    parsed: DataFrame,
+    out_dir: str,
+    json_line: bool = True,
+) -> dict[str, str]:
+    """Full staged fan-out: staging → success + failure + counts.
+
+    Returns the table paths. Each step is idempotent (mode=overwrite),
+    so a crashed run resumes by re-invoking: finished sinks rewrite
+    cheaply from staging without re-parsing.
+    """
+    paths = {
+        "staging": os.path.join(out_dir, "staging"),
+        "success": os.path.join(out_dir, "success"),
+        "failure": os.path.join(out_dir, "failure"),
+        "counts": os.path.join(out_dir, "counts"),
+    }
+    write_staging(parsed, paths["staging"], json_line=json_line)
+    staging = spark.read.parquet(paths["staging"])
+    write_success(staging, paths["success"], json_line=json_line)
+    write_failure(staging, paths["failure"])
+    write_counts(staging, paths["counts"])
+    return paths

@@ -1,0 +1,121 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a daemon: an endless ZeroMQ/TCP byte stream with
+graceful shutdown and running counters
+(/root/reference/src/HNormalise/Communication/ZeroMQ.hs:69-111). The
+Spark-native equivalent is readStream → the SAME normalise() transform
+→ foreachBatch doing the two routed writes + counts per micro-batch,
+with exactly-once resume via checkpointLocation (north_rule:
+checkpoint/resume) and windowed watermarked counts for the
+time-bucketed variant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hnormalise_spark.pipeline import normalise_tokens
+from hnormalise_spark.schemas import INPUT_SCHEMA
+from hnormalise_spark.sinks import SUCCESS_COLS, with_observed_metrics
+
+
+def read_token_stream(spark: SparkSession, in_dir: str, max_files: int = 16) -> DataFrame:
+    """File-based token stream (the sandbox stand-in for Kafka/socket;
+    on a cluster swap format('kafka') — the transform is unchanged)."""
+    return (
+        spark.readStream.schema(INPUT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+
+def start_pipeline(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """stream → parse → success/failure/counts per micro-batch.
+
+    foreachBatch writes all three sinks from one cached micro-batch
+    (the reference's two-socket fan-out, Util.hs:74-90). Counts append
+    per batch; total counts = SUM over batch counts — matching the
+    reference's *running* counter semantics. Restart-safe via the
+    checkpoint: a re-delivered batch overwrites its own epoch partition
+    (idempotent by batch_id), never double-counts.
+    """
+    stream = read_token_stream(spark, in_dir)
+    parsed = with_observed_metrics(normalise_tokens(stream))
+
+    success_path = os.path.join(out_dir, "success")
+    failure_path = os.path.join(out_dir, "failure")
+    counts_path = os.path.join(out_dir, "counts")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.persist()
+        try:
+            ok_cols = [c for c in SUCCESS_COLS if c in batch.columns]
+            (
+                batch.filter(F.col("parse_ok"))
+                .select(*ok_cols)
+                .write.mode("overwrite")
+                .parquet(os.path.join(success_path, f"batch_id={batch_id}"))
+            )
+            orig = [c for c in ("doc_id", "source", "tokens", "n_tok", "raw") if c in batch.columns]
+            (
+                batch.filter(~F.col("parse_ok"))
+                .select(*orig)
+                .write.mode("overwrite")
+                .parquet(os.path.join(failure_path, f"batch_id={batch_id}"))
+            )
+            (
+                batch.groupBy("source", "parser", "parse_ok")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .parquet(os.path.join(counts_path, f"batch_id={batch_id}"))
+            )
+        finally:
+            batch.unpersist()
+
+    writer = (
+        parsed.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .queryName("hnormalise")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Tumbling-window, watermarked per-(source,parser,ok) counts —
+    the stateful-aggregation variant (SURVEY §2.7). Late rows beyond
+    the watermark are dropped; state is bounded."""
+    stream = read_token_stream(spark, in_dir)
+    parsed = normalise_tokens(stream)
+    agg = (
+        parsed.withWatermark("timereported", watermark)
+        .groupBy(
+            F.window("timereported", window), "source", "parser", "parse_ok"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "windowed_counts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_wc"))
+        .trigger(availableNow=True)
+        .start()
+    )
