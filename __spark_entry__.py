@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY §2
+through the REAL pipeline (hnormalise_spark.pipeline.normalise): the
+query deterministically constructs syslog lines from the driver's base
+tables (orders/events/customer/lineitem), parses them, and projects
+typed fields out. The matching ``oracle_sql()`` computes the expected
+values DIRECTLY from the base columns by arithmetic — it never
+re-parses — so a pass proves the parser exactly inverts the
+construction (a strong, independent oracle).
+
+Conventions for the driver's order-insensitive value-hash compare:
+ints cast to BIGINT, booleans to INT, identical column aliases on both
+sides.
 """
 
 from __future__ import annotations
@@ -12,27 +19,636 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _norm(df: DataFrame, line: F.Column, doc_id: F.Column) -> DataFrame:
+    from hnormalise_spark.pipeline import normalise
+
+    return normalise(df.select(doc_id.alias("doc_id"), line.alias("raw")))
+
+
+def _env(msg: F.Column, k: F.Column) -> F.Column:
+    return F.format_string(
+        "<%d>1 2017-05-24T18:01:%02d.000000+02:00 node%04d.c%d.example.org tag - %s",
+        k % 190 + 1, k % 60, k % 500, (k % 500) % 7, msg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# torque line constructors (shared between queries)
+
+
+def _torque_exit_line(k: F.Column) -> F.Column:
+    nh = k % 3 + 1
+    ppn = k % 8 + 1
+    exec_host = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nh - 1),
+            lambda j: F.format_string(
+                "node%04d.c1.example.org/0-%d", (k * 7 + j) % 9999, ppn - 1
+            ),
+        ),
+        "+",
+    )
+    acct = F.when(k % 4 == 0, F.format_string(" account=acct%d", k % 50)).otherwise(F.lit(""))
+    tes = F.when(k % 2 == 0, F.format_string(" total_execution_slots=%d", nh * ppn)).otherwise(F.lit(""))
+    energy = F.when(k % 3 == 0, F.lit(" resources_used.energy_used=0")).otherwise(F.lit(""))
+    return F.format_string(
+        "torque: 04/05/2017 13:06:53;E;%d.master%d.c%d.example.org;"
+        "user=vsc4%04d group=vsc4%04d%s jobname=job_%d queue=q%d "
+        "ctime=%d qtime=%d etime=%d start=%d "
+        "owner=vsc4%04d@submit01.example.org exec_host=%s "
+        "Resource_List.neednodes=%d:ppn=%d Resource_List.nice=0 "
+        "Resource_List.nodect=%d Resource_List.nodes=%d:ppn=%d "
+        "Resource_List.vmem=%dgb Resource_List.walltime=%02d:%02d:00"
+        "%s session=%d unique_node_count=%d end=%d Exit_status=%d "
+        "resources_used.cput=%d%s resources_used.mem=%dkb "
+        "resources_used.vmem=%dkb resources_used.walltime=%02d:%02d:00",
+        k, k % 20, k % 20 % 7,
+        k % 10000, k % 10000, acct, k, k % 5,
+        F.lit(1500000000) + k, F.lit(1500000000) + k + k % 600,
+        F.lit(1500000000) + k + k % 600, F.lit(1500000000) + k + k % 600 + 7,
+        k % 10000, exec_host,
+        nh, ppn, nh, nh, ppn,
+        k % 16 + 1, k % 72, k % 60,
+        tes, k % 100000, nh, F.lit(1500000000) + k + 86400, k % 10 - 3,
+        k % 86400, energy, k % 1000000 + 1, k % 3000000 + 1,
+        k % 48, (k + 17) % 60,
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_parse_torque_exit(spark: SparkSession, sf: str) -> DataFrame:
+    """T11-T14: full job-exit parse (KV body, memory/walltime
+    conversions, exec_host expansion + merge, derived defaults)."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    parsed = _norm(orders, _env(_torque_exit_line(k), k), F.format_string("tq-%d", k))
+    t = F.col("torque")
+    return parsed.select(
+        F.col("doc_id"),
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        t["name"]["number"].alias("job_number"),
+        t["name"]["master"].alias("master"),
+        t["user"].alias("job_user"),
+        t["account"].alias("account"),
+        t["queue"].alias("queue"),
+        t["times"]["ctime"].alias("ctime"),
+        t["times"]["end_time"].alias("end_time"),
+        t["resource_request"]["vmem"].alias("vmem_bytes"),
+        t["resource_request"]["walltime"]["total_seconds"].alias("walltime_sec"),
+        t["resource_request"]["nodect"].alias("nodect"),
+        t["resource_usage"]["cputime"].alias("cputime_sec"),
+        t["resource_usage"]["mem"].alias("mem_bytes"),
+        t["resource_usage"]["energy"].alias("energy"),
+        t["total_execution_slots"].alias("slots"),
+        t["unique_node_count"].alias("unique_nodes"),
+        F.size(t["exec_host"]).cast("long").alias("n_exec_hosts"),
+        t["exit_status"].alias("exit_status"),
+    )
+
+
+def _oracle_torque_exit() -> str:
+    return """
+    SELECT 'tq-' || o_orderkey AS doc_id,
+           1 AS parse_ok,
+           o_orderkey AS job_number,
+           'master' || (o_orderkey % 20) AS master,
+           printf('vsc4%04d', o_orderkey % 10000) AS job_user,
+           CASE WHEN o_orderkey % 4 = 0 THEN 'acct' || (o_orderkey % 50) END AS account,
+           'q' || (o_orderkey % 5) AS queue,
+           1500000000 + o_orderkey AS ctime,
+           1500000000 + o_orderkey + 86400 AS end_time,
+           (o_orderkey % 16 + 1) * 1073741824 AS vmem_bytes,
+           (o_orderkey % 72) * 3600 + (o_orderkey % 60) * 60 AS walltime_sec,
+           (o_orderkey % 3 + 1) AS nodect,
+           o_orderkey % 86400 AS cputime_sec,
+           (o_orderkey % 1000000 + 1) * 1024 AS mem_bytes,
+           CASE WHEN o_orderkey % 3 = 0 THEN 0 END AS energy,
+           (o_orderkey % 3 + 1) * (o_orderkey % 8 + 1) AS slots,
+           (o_orderkey % 3 + 1) AS unique_nodes,
+           (o_orderkey % 3 + 1) AS n_exec_hosts,
+           o_orderkey % 10 - 3 AS exit_status
+    FROM orders
+    """
+
+
+def q_parse_torque_queue(spark: SparkSession, sf: str) -> DataFrame:
+    """T3+T18: job-name decomposition incl. array ids and Q-entry parse."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    arr = (
+        F.when(k % 3 == 0, F.format_string("[%d]", k % 997))
+        .when(k % 3 == 1, F.lit("[]"))
+        .otherwise(F.lit(""))
+    )
+    msg = F.format_string(
+        "torque: 06/28/2017 14:31:09;Q;%d%s.m%d.c%d.example.org;queue=q%d",
+        k, arr, k % 13, k % 7, k % 5,
+    )
+    parsed = _norm(orders, _env(msg, k), F.format_string("tq-%d", k))
+    t = F.col("torque")
+    return parsed.select(
+        "doc_id",
+        F.col("parser").alias("parser"),
+        t["name"]["number"].alias("job_number"),
+        t["name"]["array_id"].alias("array_id"),
+        t["name"]["master"].alias("master"),
+        t["name"]["cluster"].alias("cluster"),
+        t["queue"].alias("queue"),
+        t["datestamp"].alias("datestamp"),
+    )
+
+
+def _oracle_torque_queue() -> str:
+    return """
+    SELECT 'tq-' || o_orderkey AS doc_id,
+           'torque_queue' AS parser,
+           o_orderkey AS job_number,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 997 END AS array_id,
+           'm' || (o_orderkey % 13) AS master,
+           'c' || (o_orderkey % 7) AS cluster,
+           'q' || (o_orderkey % 5) AS queue,
+           '06/28/2017 14:31:09' AS datestamp
+    FROM orders
+    """
+
+
+def q_parse_snoopy(spark: SparkSession, sf: str) -> DataFrame:
+    """N1: snoopy exec-log extraction (optional username, tty, cwd,
+    bracket-delimited executable, trailing command)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("user_id").cast("long").alias("u"),
+    )
+    k, u = F.col("k"), F.col("u")
+    uname = F.when(k % 2 == 0, F.format_string(" username:user%03d", u % 500)).otherwise(F.lit(""))
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d%s sid:%d tty:%s cwd:/home/dir%d "
+        "filename:/usr/bin/tool%02d]: tool%02d --input f_%d.txt -n %d",
+        k % 65536, u % 65536, uname, k % 9999,
+        F.when(k % 4 == 0, F.lit("pts/1")).otherwise(F.lit("(none)")),
+        u % 100, k % 50, k % 50, k, k % 100,
+    )
+    parsed = _norm(ev.withColumn("u", u), _env(msg, k), F.format_string("sn-%d", k))
+    s = F.col("snoopy")
+    return parsed.select(
+        "doc_id",
+        s["pid"].cast("long").alias("pid"),
+        s["uid"].cast("long").alias("uid"),
+        s["username"].alias("username"),
+        s["sid"].cast("long").alias("sid"),
+        s["tty"].alias("tty"),
+        s["cwd"].alias("cwd"),
+        s["executable"].alias("executable"),
+        s["command"].alias("command"),
+    )
+
+
+def _oracle_snoopy() -> str:
+    return """
+    SELECT 'sn-' || event_id AS doc_id,
+           event_id % 65536 AS pid,
+           user_id % 65536 AS uid,
+           CASE WHEN event_id % 2 = 0 THEN printf('user%03d', user_id % 500) END AS username,
+           event_id % 9999 AS sid,
+           CASE WHEN event_id % 4 = 0 THEN 'pts/1' ELSE '(none)' END AS tty,
+           '/home/dir' || (user_id % 100) AS cwd,
+           printf('/usr/bin/tool%02d', event_id % 50) AS executable,
+           printf('tool%02d --input f_%d.txt -n %d', event_id % 50, event_id, event_id % 100) AS command
+    FROM events
+    """
+
+
+def q_parse_lmod(spark: SparkSession, sf: str) -> DataFrame:
+    """L1-L5: lmod load/command incl. the jobid sum type
+    (torque-name | slurm int | empty → null)."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k")
+    )
+    k = F.col("k")
+    jobid = (
+        F.when(k % 3 == 0, F.format_string("%d.master%d.cl%d.example.org", k * 3 + 1, k % 20, k % 7))
+        .when(k % 3 == 1, F.format_string("%d", k * 11))
+        .otherwise(F.lit(""))
+    )
+    load = F.format_string(
+        "lmod::  username=u%d, cluster=cl%d, jobid=%s, userload=%s, "
+        "module=Mod%d/%d.%d-x, fn=/apps/all/Mod%d",
+        k, k % 7, jobid,
+        F.when(k % 2 == 0, F.lit("yes")).otherwise(F.lit("No")),
+        k % 100, k % 9, (k + 1) % 9, k % 100,
+    )
+    cmd = F.format_string(
+        "lmod::  username=u%d, cluster=cl%d, jobid=%s, cmd=load, args=cluster/c%d",
+        k, k % 7, jobid, k % 7,
+    )
+    msg = F.when(k % 5 < 4, load).otherwise(cmd)
+    parsed = _norm(cust, _env(msg, k), F.format_string("lm-%d", k))
+    l = F.col("lmod")
+    return parsed.select(
+        "doc_id",
+        F.col("parser").alias("parser"),
+        l["info"]["username"].alias("username"),
+        l["info"]["cluster"].alias("cluster"),
+        l["info"]["jobid"]["number"].alias("slurm_jobid"),
+        l["info"]["jobid"]["torque"]["number"].alias("torque_jobid"),
+        l["userload"].cast("int").alias("userload"),
+        l["module"]["name"].alias("module_name"),
+        l["module"]["version"].alias("module_version"),
+        l["command"].alias("command"),
+        l["arguments"].alias("arguments"),
+    )
+
+
+def _oracle_lmod() -> str:
+    return """
+    SELECT 'lm-' || c_custkey AS doc_id,
+           CASE WHEN c_custkey % 5 < 4 THEN 'lmod_load' ELSE 'lmod_command' END AS parser,
+           'u' || c_custkey AS username,
+           'cl' || (c_custkey % 7) AS cluster,
+           CASE WHEN c_custkey % 3 = 1 THEN c_custkey * 11 END AS slurm_jobid,
+           CASE WHEN c_custkey % 3 = 0 THEN c_custkey * 3 + 1 END AS torque_jobid,
+           CASE WHEN c_custkey % 5 < 4 THEN CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END END AS userload,
+           CASE WHEN c_custkey % 5 < 4 THEN 'Mod' || (c_custkey % 100) END AS module_name,
+           CASE WHEN c_custkey % 5 < 4 THEN (c_custkey % 9) || '.' || ((c_custkey + 1) % 9) || '-x' END AS module_version,
+           CASE WHEN c_custkey % 5 >= 4 THEN 'load' END AS command,
+           CASE WHEN c_custkey % 5 >= 4 THEN 'cluster/c' || (c_custkey % 7) END AS arguments
+    FROM customer
+    """
+
+
+def q_parse_shorewall(spark: SparkSession, sf: str) -> DataFrame:
+    """W1-W4: shorewall TCP/UDP/ICMP with the per-proto field presence
+    rules (TCP: mac, no out; ICMP: no ports)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k"),
+        F.col("user_id").cast("long").alias("u"),
+    )
+    k, u = F.col("k"), F.col("u")
+    head = F.format_string(
+        "kernel:: Shorewall:r%d:%s:IN=em%d",
+        k % 4,
+        F.when(k % 2 == 0, F.lit("REJECT")).otherwise(F.lit("DROP")),
+        k % 4 + 1,
+    )
+    src = F.format_string("10.1.%d.%d", u % 256, k % 254 + 1)
+    dst = F.format_string("10.2.%d.%d", k % 256, u % 254 + 1)
+    mid = F.format_string("LEN=%d TOS=0x00 PREC=0x00 TTL=63 ID=%d", k % 1400 + 28, k % 65536)
+    tcp = F.format_string(
+        "%s OUT= MAC=aa:bb:cc:00:00:%02d SRC=%s DST=%s %s DF PROTO=TCP SPT=%d DPT=%d WINDOW=65535",
+        head, k % 100, src, dst, mid, k % 64512 + 1024, k % 1024,
+    )
+    udp = F.format_string(
+        "%s OUT=em%d SRC=%s DST=%s %s PROTO=UDP SPT=%d DPT=%d LEN=37",
+        head, k % 5 + 1, src, dst, mid, k % 64512 + 1024, k % 1024,
+    )
+    icmp = F.format_string(
+        "%s OUT=em%d SRC=%s DST=%s %s PROTO=ICMP TYPE=8 CODE=0 ID=0 SEQ=%d",
+        head, k % 5 + 1, src, dst, mid, k % 65536,
+    )
+    msg = F.when(k % 3 == 0, tcp).when(k % 3 == 1, udp).otherwise(icmp)
+    parsed = _norm(ev.withColumn("u", u), _env(msg, k), F.format_string("sw-%d", k))
+    s = F.col("shorewall")
+    return parsed.select(
+        "doc_id",
+        F.col("parser").alias("parser"),
+        s["fwproto"].alias("fwproto"),
+        s["fwrule"].alias("fwrule"),
+        s["fwtarget"].alias("fwtarget"),
+        s["fwin"].alias("fwin"),
+        s["fwout"].alias("fwout"),
+        s["fwmac"].alias("fwmac"),
+        s["fwsrc"].alias("fwsrc"),
+        s["fwdst"].alias("fwdst"),
+        s["fwspt"].alias("fwspt"),
+        s["fwdpt"].alias("fwdpt"),
+    )
+
+
+def _oracle_shorewall() -> str:
+    return """
+    SELECT 'sw-' || event_id AS doc_id,
+           CASE event_id % 3 WHEN 0 THEN 'shorewall_tcp' WHEN 1 THEN 'shorewall_udp' ELSE 'shorewall_icmp' END AS parser,
+           CASE event_id % 3 WHEN 0 THEN 'TCP' WHEN 1 THEN 'UDP' ELSE 'ICMP' END AS fwproto,
+           'r' || (event_id % 4) AS fwrule,
+           CASE WHEN event_id % 2 = 0 THEN 'REJECT' ELSE 'DROP' END AS fwtarget,
+           'em' || (event_id % 4 + 1) AS fwin,
+           CASE WHEN event_id % 3 <> 0 THEN 'em' || (event_id % 5 + 1) END AS fwout,
+           CASE WHEN event_id % 3 = 0 THEN printf('aa:bb:cc:00:00:%02d', event_id % 100) END AS fwmac,
+           printf('10.1.%d.%d', user_id % 256, event_id % 254 + 1) AS fwsrc,
+           printf('10.2.%d.%d', event_id % 256, user_id % 254 + 1) AS fwdst,
+           CASE WHEN event_id % 3 <> 2 THEN event_id % 64512 + 1024 END AS fwspt,
+           CASE WHEN event_id % 3 <> 2 THEN event_id % 1024 END AS fwdpt
+    FROM events
+    """
+
+
+def q_envelope(spark: SparkSession, sf: str) -> DataFrame:
+    """P5: rsyslog logstash envelope (PRI/version/timestamp/hostname/
+    syslogtag/msg), incl. rows without a PRI header."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:1 sid:1 tty:t cwd:/ filename:/bin/x]: run %d", k, k
+    )
+    with_pri = F.format_string(
+        "<%d>1 2017-05-24T18:01:%02d.000000+02:00 host%d tag%d: - %s",
+        k % 190 + 1, k % 60, k % 1000, k % 9, msg,
+    )
+    without_pri = F.format_string(
+        "2017-05-24T18:01:%02d.000000+02:00 host%d tag%d: - %s",
+        k % 60, k % 1000, k % 9, msg,
+    )
+    line = F.when(k % 4 == 0, without_pri).otherwise(with_pri)
+    parsed = _norm(ev, line, F.format_string("env-%d", k))
+    return parsed.select(
+        "doc_id",
+        F.col("pri").cast("long").alias("pri"),
+        F.col("version").cast("long").alias("version"),
+        F.col("hostname").alias("hostname"),
+        F.col("syslogtag").alias("syslogtag"),
+        F.col("timereported_raw").alias("timereported_raw"),
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+    )
+
+
+def _oracle_envelope() -> str:
+    return """
+    SELECT 'env-' || event_id AS doc_id,
+           CASE WHEN event_id % 4 <> 0 THEN event_id % 190 + 1 END AS pri,
+           CASE WHEN event_id % 4 <> 0 THEN 1 END AS version,
+           'host' || (event_id % 1000) AS hostname,
+           'tag' || (event_id % 9) || ':' AS syslogtag,
+           printf('2017-05-24T18:01:%02d.000000+02:00', event_id % 60) AS timereported_raw,
+           1 AS parse_ok
+    FROM events
+    """
+
+
+def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 + routing: first-match-wins dispatch over a mixed corpus with
+    deterministic junk, aggregated per (source, parser, parse_ok) —
+    the reference's success/fail counters generalized."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    tq = F.format_string("torque: 06/28/2017 14:31:09;Q;%d.m.c.example.org;queue=q", k)
+    tq_bad = F.format_string("torque: 06/28/2017 14:31:09;Q;%d;queue=q", k)  # bare job id
+    sn = F.format_string("snoopy[%d]::  [uid:1 sid:1 tty:t cwd:/ filename:/bin/x]: x", k)
+    lm = F.lit("lmod::  username=u, cluster=c, jobid=, userload=yes, module=a/b, fn=/f")
+    junk = F.format_string("random noise %d", k)
+    b = k % 10
+    msg = (
+        F.when(b < 4, tq)
+        .when(b == 4, tq_bad)
+        .when(b < 7, sn)
+        .when(b == 7, lm)
+        .otherwise(junk)
+    )
+    source = (
+        F.when(b < 5, "torque").when(b < 7, "snoopy").when(b == 7, "lmod").otherwise("junk")
+    )
+    df = ev.select(
+        F.format_string("rc-%d", k).alias("doc_id"),
+        source.alias("source"),
+        _env(msg, k).alias("raw"),
+    )
+    from hnormalise_spark.pipeline import counts, normalise
+
+    parsed = normalise(df)
+    return counts(parsed).select(
+        "source",
+        "parser",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _oracle_route_counts() -> str:
+    return """
+    WITH c AS (
+      SELECT CASE WHEN event_id % 10 < 5 THEN 'torque'
+                  WHEN event_id % 10 < 7 THEN 'snoopy'
+                  WHEN event_id % 10 = 7 THEN 'lmod'
+                  ELSE 'junk' END AS source,
+             CASE WHEN event_id % 10 < 4 THEN 'torque_queue'
+                  WHEN event_id % 10 = 4 THEN NULL
+                  WHEN event_id % 10 < 7 THEN 'snoopy'
+                  WHEN event_id % 10 = 7 THEN 'lmod_load'
+                  ELSE NULL END AS parser,
+             CASE WHEN event_id % 10 = 4 OR event_id % 10 > 7 THEN 0 ELSE 1 END AS parse_ok
+      FROM events)
+    SELECT source, parser, parse_ok, COUNT(*)::BIGINT AS n
+    FROM c GROUP BY source, parser, parse_ok
+    """
+
+
+def q_walltime_memory(spark: SparkSession, sf: str) -> DataFrame:
+    """T1+T2+T6: walltime/memory/cputime scalar conversions over
+    lineitem-derived strings (all four walltime arities, all units &
+    case mixes)."""
+    from hnormalise_spark.parsing import common as C
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+    )
+    k = F.col("k")
+    wt = (
+        F.when(k % 4 == 0, F.format_string("%d", k % 100000))
+        .when(k % 4 == 1, F.format_string("%d:%d", k % 60, (k + 1) % 60))
+        .when(k % 4 == 2, F.format_string("%d:%d:%d", k % 24, k % 60, (k + 1) % 60))
+        .otherwise(F.format_string("%d:%d:%d:%d", k % 7, k % 24, k % 60, (k + 1) % 60))
+    )
+    unit = (
+        F.when(k % 4 == 0, "b").when(k % 4 == 1, "Kb").when(k % 4 == 2, "mB").otherwise(F.lit("GB"))
+    )
+    mem = F.concat((k % 5000).cast("string"), unit)
+    return li.select(
+        F.format_string("wm-%d", k).alias("doc_id"),
+        C.walltime_seconds(wt).alias("walltime_sec"),
+        C.memory_bytes(mem).alias("mem_bytes"),
+        C.cputime_seconds(F.format_string("%d", k % 7777)).alias("cputime_sec"),
+    )
+
+
+def _oracle_walltime_memory() -> str:
+    return """
+    WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k FROM lineitem)
+    SELECT 'wm-' || k AS doc_id,
+           CASE k % 4
+             WHEN 0 THEN k % 100000
+             WHEN 1 THEN (k % 60) * 60 + (k + 1) % 60
+             WHEN 2 THEN (k % 24) * 3600 + (k % 60) * 60 + (k + 1) % 60
+             ELSE (k % 7) * 86400 + (k % 24) * 3600 + (k % 60) * 60 + (k + 1) % 60
+           END AS walltime_sec,
+           (k % 5000) * CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 1024
+                                   WHEN 2 THEN 1048576 ELSE 1073741824 END AS mem_bytes,
+           k % 7777 AS cputime_sec
+    FROM li
+    """
+
+
+def q_host_list(spark: SparkSession, sf: str) -> DataFrame:
+    """T8+T9: exec_host core-range expansion and same-host merge.
+    Even rows: one host with ranges+singles; odd rows: the same host
+    repeated m times with one core each (must merge)."""
+    from hnormalise_spark.parsing import common as C
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+    )
+    k = F.col("k")
+    lo = k % 10
+    width = k % 6  # range lo..lo+width
+    ranged = F.format_string("n%d.ex/%d-%d,%d", k % 100, lo, lo + width, lo + width + 2)
+    m = k % 5 + 2
+    repeated = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), m - 1),
+            lambda j: F.format_string("n%d.ex/%d", k % 100, j),
+        ),
+        "+",
+    )
+    hosts = C.host_list(F.when(k % 2 == 0, ranged).otherwise(repeated))
+    return li.select(
+        F.format_string("hl-%d", k).alias("doc_id"),
+        F.size(hosts).cast("long").alias("n_hosts"),
+        F.aggregate(
+            hosts, F.lit(0).cast("long"), lambda a, h: a + F.size(h["cores"])
+        ).alias("total_cores"),
+        F.element_at(F.element_at(hosts, 1)["cores"], -1).cast("long").alias("max_core_first_host"),
+    )
+
+
+def _oracle_host_list() -> str:
+    return """
+    WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k FROM lineitem)
+    SELECT 'hl-' || k AS doc_id,
+           1 AS n_hosts,
+           CASE WHEN k % 2 = 0 THEN (k % 6) + 2 ELSE (k % 5) + 2 END AS total_cores,
+           CASE WHEN k % 2 = 0 THEN (k % 10) + (k % 6) + 2 ELSE (k % 5) + 1 END AS max_core_first_host
+    FROM li
+    """
+
+
+def q_enrich_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule enrichment: broadcast host→cluster→site join onto
+    parsed rows (plan: BroadcastHashJoin, no fact-side shuffle)."""
+    from hnormalise_spark.enrich import enrich, synth_lookup_tables
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d sid:1 tty:t cwd:/ filename:/bin/x]: x", k, k % 500
+    )
+    parsed = _norm(ev, _env(msg, k), F.format_string("en-%d", k))
+    hm, cm, um = synth_lookup_tables(spark)
+    out = enrich(parsed, hm, cm, um)
+    return out.select(
+        "doc_id",
+        F.col("hostname").alias("hostname"),
+        F.col("host_cluster").alias("host_cluster"),
+        F.col("cluster_site").alias("cluster_site"),
+        F.col("uid_username").alias("uid_username"),
+    )
+
+
+def _oracle_enrich() -> str:
+    return """
+    SELECT 'en-' || event_id AS doc_id,
+           printf('node%04d.c%d.example.org', event_id % 500, (event_id % 500) % 7) AS hostname,
+           'c' || ((event_id % 500) % 7) AS host_cluster,
+           CASE WHEN ((event_id % 500) % 7) % 2 = 0 THEN 'site-a' ELSE 'site-b' END AS cluster_site,
+           printf('user%03d', event_id % 500) AS uid_username
+    FROM events
+    """
+
+
+def q_json_encode_snoopy(spark: SparkSession, sf: str) -> DataFrame:
+    """J1: the reference-shaped output JSON line (aeson parity) for
+    snoopy rows, reproduced in the oracle by string concatenation."""
+    from hnormalise_spark import jsonout
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d sid:%d tty:(none) cwd:/ filename:/bin/t%d]: t%d -n %d",
+        k, k % 1000, k % 777, k % 9, k % 9, k,
+    )
+    parsed = _norm(ev, _env(msg, k), F.format_string("js-%d", k))
+    return parsed.select("doc_id", jsonout.encode_normalised().alias("json"))
+
+
+def _oracle_json_snoopy() -> str:
+    return """
+    SELECT 'js-' || event_id AS doc_id,
+           '{"message":"snoopy[' || event_id || ']::  [uid:' || (event_id % 1000)
+           || ' sid:' || (event_id % 777) || ' tty:(none) cwd:/ filename:/bin/t' || (event_id % 9)
+           || ']: t' || (event_id % 9) || ' -n ' || event_id
+           || '","syslog_abspri":' || (event_id % 190 + 1)
+           || ',"syslog_version":1,"program":"snoopy","@source_host":"'
+           || printf('node%04d.c%d.example.org', event_id % 500, (event_id % 500) % 7)
+           || '","snoopy":{"pid":' || event_id
+           || ',"uid":' || (event_id % 1000)
+           || ',"username":null,"sid":' || (event_id % 777)
+           || ',"tty":"(none)","cwd":"/","executable":"/bin/t' || (event_id % 9)
+           || '","command":"t' || (event_id % 9) || ' -n ' || event_id || '"}}' AS json
+    FROM events
+    """
+
+
+# snoopy pid in q_json: pid printed as %d of k (not k%65536) — keep k small via events ids.
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mixed-corpus parse → route → per-(source,parser,ok)
+    counts on sf0.001 (the reference's end-to-end dataflow)."""
+    return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_torque_exit": q_parse_torque_exit,
+        "parse_torque_queue": q_parse_torque_queue,
+        "parse_snoopy": q_parse_snoopy,
+        "parse_lmod": q_parse_lmod,
+        "parse_shorewall": q_parse_shorewall,
+        "envelope": q_envelope,
+        "route_counts": q_route_counts,
+        "walltime_memory": q_walltime_memory,
+        "host_list": q_host_list,
+        "enrich_broadcast": q_enrich_broadcast,
+        "json_encode_snoopy": q_json_encode_snoopy,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_torque_exit": _oracle_torque_exit(),
+        "parse_torque_queue": _oracle_torque_queue(),
+        "parse_snoopy": _oracle_snoopy(),
+        "parse_lmod": _oracle_lmod(),
+        "parse_shorewall": _oracle_shorewall(),
+        "envelope": _oracle_envelope(),
+        "route_counts": _oracle_route_counts(),
+        "walltime_memory": _oracle_walltime_memory(),
+        "host_list": _oracle_host_list(),
+        "enrich_broadcast": _oracle_enrich(),
+        "json_encode_snoopy": _oracle_json_snoopy(),
+    }

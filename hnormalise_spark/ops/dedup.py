@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes:
+* exact      — one hash-aggregate shuffle on the 16-byte fingerprint
+               (never on the raw text).
+* minhash    — per-row signature (map-side only), band → LSH bucket
+               shuffle on small band keys, candidate verify inside
+               buckets. No all-pairs anywhere.
+* simhash    — per-row 64-bit sketch; near-dup = same sketch bucket
+               (or hamming-adjacent probes).
+
+Hashing discipline: md5-derived everywhere (deterministic across
+engines and runs — Spark's hash()/xxhash64 seeds are engine-specific,
+so DuckDB oracles could not re-verify them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mark exact duplicates (after whitespace/case normalisation):
+    keeper = min id per fingerprint group. Adds ``fingerprint``,
+    ``group_size``, ``is_dup``.
+
+    Plan: one shuffle keyed by the md5 fingerprint (fixed-width key —
+    immune to long-text skew); at 10^12 rows use it with a pre-
+    aggregated (fingerprint → min_id, count) broadcast-or-merge join.
+    """
+    fp = F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keeper_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("keeper_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalised text (empty-safe)."""
+    t = normalized_text(text)
+    ln = F.length(t)
+    return F.when(ln < n, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), ln - n + 1), lambda i: F.substring(t, i, F.lit(n))
+            )
+        )
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash where h_i(s) = md5(i || s); the signature
+    keeps the lexicographic minimum hex digest per permutation —
+    min-of-hash semantics without engine-specific integer hashing."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(str(i)), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each band of `rows` signature entries to one
+    bucket key; docs sharing ANY band key are candidates."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"b{b}:"),
+                    F.concat_ws(
+                        "|", *[F.element_at(signature, b * rows + r + 1) for r in range(rows)]
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate detection: shingle → MinHash → band buckets →
+    candidate pairs inside buckets → Jaccard verify ≥ threshold.
+
+    Shuffles: explode on band keys (k/rows small keys per row) + one
+    self-join per bucket. Buckets are tiny under any real distribution;
+    a pathological hot bucket is capped by AQE skew-join splitting.
+    Returns (id_a, id_b, jaccard) pairs with id_a < id_b.
+    """
+    rows = k // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
+    banded = base.select(
+        "_id", "_sh", F.explode(band_keys(F.col("_sig"), bands, rows)).alias("_band")
+    )
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band")
+    pairs = (
+        a.join(b, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .distinct()
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash64(text: Column, n: int = 4) -> Column:
+    """64-bit SimHash over character n-grams: bit j of the sketch is the
+    majority vote of bit j of md5(shingle) weighted ±1.
+
+    Uses the first 16 hex chars of md5 as a 64-bit integer via conv();
+    per-bit vote with bitwise ops — all JVM expressions.
+    """
+    sh = char_shingles(text, n)
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
+    bits = 60
+    votes = [
+        F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, v, j=j: acc + F.when(v.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
+        )
+        for j in range(bits)
+    ]
+    out = F.lit(0).cast("long")
+    for j, v in enumerate(votes):
+        out = out + F.when(v > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bucket by exact SimHash value (cheap near-dup pass for
+    boilerplate-heavy corpora); returns per-row sketch + bucket stats."""
+    w = Window.partitionBy("simhash")
+    return (
+        df.withColumn("simhash", simhash64(F.col(text_col)))
+        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_near_dup", F.col("bucket_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct pairwise verify)
+
+
+def ngram_jaccard_pairs(
+    df_a: DataFrame, df_b: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Jaccard over word n-grams for explicitly joined pairs (the
+    verify step of a candidate generator; not an all-pairs operator)."""
+    def grams(col: Column) -> Column:
+        words = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+        cnt = F.size(words)
+        return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+                )
+            )
+        )
+
+    a = df_a.select(F.col(id_col).alias("id_a"), grams(F.col(text_col)).alias("g_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), grams(F.col(text_col)).alias("g_b"))
+    return a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard")
+    )

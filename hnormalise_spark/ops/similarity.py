@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (array<float>).
+
+* Brute-force cosine scoring/top-k — the exact baseline. The score is
+  a JVM expression (zip_with + aggregate in double); top-k is a single
+  TakeOrderedAndProject (no full sort shuffle).
+* LSH-bucketed ANN — the scale path: sign-bit sketches against
+  deterministic md5-derived hyperplanes bucket the corpus; queries
+  probe only their bucket. Recall/latency trade via n_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_scores(
+    df: DataFrame, query_vec: list[float], vec_col: str = "embedding"
+) -> DataFrame:
+    """Score every row against a literal query vector (map-side only —
+    the query is a literal in the plan, no join, no shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.withColumn("cosine", cosine(F.col(vec_col), q))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge — no
+    global sort shuffle; verify in .explain)."""
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+
+
+def _plane(i: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible
+    across runs/engines, no RNG state."""
+    import hashlib
+
+    vals = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane{i}:{d}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return vals
+
+
+def lsh_sketch(vec: Column, dim: int, n_planes: int = 12) -> Column:
+    """Sign-bit sketch: bit i = sign(vec · plane_i) → integer bucket."""
+    out = F.lit(0).cast("long")
+    for i in range(n_planes):
+        p = F.array(*[F.lit(v) for v in _plane(i, dim)])
+        out = out + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only the rows whose sketch equals the
+    query's sketch (1/2^n_planes of the corpus in expectation). At
+    cluster scale the table is written bucketed/partitioned by sketch →
+    partition pruning makes the probe a single-bucket scan."""
+    dim = len(query_vec)
+    q_sketch_bits = 0
+    for i in range(n_planes):
+        p = _plane(i, dim)
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            q_sketch_bits |= 1 << i
+    sketched = df.withColumn("_sketch", lsh_sketch(F.col(vec_col), dim, n_planes))
+    return (
+        cosine_scores(sketched.filter(F.col("_sketch") == q_sketch_bits), query_vec, vec_col)
+        .select(id_col, "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-row norm/dim plus corpus aggregates — the sanity profile."""
+    per_row = df.withColumns(
+        {"dim": F.size(F.col(vec_col)), "l2_norm": F.round(norm(F.col(vec_col)), 6)}
+    )
+    return per_row

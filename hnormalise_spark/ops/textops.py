@@ -1,0 +1,109 @@
+"""Text analysis operators over a documents table.
+
+All pure JVM expressions (regexp_count/replace/length arithmetic), so
+they scan at parquet speed with column pruning. Every formula is also
+expressible in ANSI SQL — the __spark_entry__ oracles recompute them
+independently in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic (deliberately small + deterministic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "que", "y", "es", "una"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for blank/empty)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words, digit runs, and punctuation
+    each count separately (a BPE-flavoured regex tokenizer)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"))
+
+
+def char_class_counts(text: Column) -> dict[str, Column]:
+    return {
+        "n_alpha": F.length(F.regexp_replace(text, r"[^A-Za-z]", "")),
+        "n_digit": F.length(F.regexp_replace(text, r"[^0-9]", "")),
+        "n_space": F.length(F.regexp_replace(text, r"[^ \t\n]", "")),
+        "n_punct": F.length(F.regexp_replace(text, r"[A-Za-z0-9 \t\n]", "")),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality score: alpha ratio, blended with a
+    word-count band and a punctuation penalty (the usual pre-training
+    heuristics, kept SQL-mirrorable)."""
+    n = F.greatest(F.length(text), F.lit(1))
+    cc = char_class_counts(text)
+    alpha_ratio = cc["n_alpha"] / n
+    punct_ratio = cc["n_punct"] / n
+    words = token_count(text)
+    words_ok = F.when((words >= 5) & (words <= 10000), F.lit(1.0)).otherwise(F.lit(0.3))
+    score = alpha_ratio * F.lit(0.6) + words_ok * F.lit(0.3) + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * F.lit(0.1)
+    return F.round(score, 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts (word-boundary regex)."""
+    padded = F.lower(text)
+    return {
+        lang: sum(
+            (F.regexp_count(padded, F.lit(rf"\b{w}\b")) for w in words),
+            F.lit(0),
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column, min_hits: int = 2) -> Column:
+    """argmax language by stopword hits; ties and low-evidence → 'und'.
+
+    Deterministic tie-break: the LANG_MARKERS insertion order wins only
+    on strictly-greater counts, so equal scores fall through to 'und'
+    if nothing beats them — mirrored in the SQL oracle.
+    """
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs])
+    out = F.lit("und")
+    # first language (in fixed order) achieving the strict maximum wins
+    expr = None
+    for lang in langs:
+        cond = (scores[lang] == best) & (best >= min_hits)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return F.coalesce(expr, out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalised,
+    lowercased text (md5, not hash(): cross-engine checkable)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: counts, ratios, quality, language, print."""
+    t = F.col(text_col)
+    cc = char_class_counts(t)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_ish_token_count(t),
+            **cc,
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fingerprint": fingerprint(t),
+        }
+    )
