@@ -623,7 +623,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from hnormalise_spark.ops import entry as ops_entry
+
     return {
+        **ops_entry.queries(),
         "parse_torque_exit": q_parse_torque_exit,
         "parse_torque_queue": q_parse_torque_queue,
         "parse_snoopy": q_parse_snoopy,
@@ -639,7 +642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hnormalise_spark.ops import entry as ops_entry
+
     return {
+        **ops_entry.oracle_sql(),
         "parse_torque_exit": _oracle_torque_exit(),
         "parse_torque_queue": _oracle_torque_queue(),
         "parse_snoopy": _oracle_snoopy(),

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the flagship end-to-end pipeline (tokenized corpus → detokenize →
+parse → route → JSON encode → counts) plus every `__spark_entry__`
+query at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), and prints ONE JSON line:
+
+    {"metric": "pipeline lines/sec", "value": <lines/s>, "unit": "lines/s",
+     "queries": {name: sec, ...}, "sf": 0.1, ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR       parquet table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS         local[] parallelism (default 32)
+    SPARK_GRAFT_BENCH_LINES  corpus size for the throughput leg (default 2_000_000)
+    SPARK_GRAFT_SKIP_QUERIES set to skip the per-query leg (scaling runs)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame without sink cost (noop source keeps
+    every projected column alive, unlike count()'s pruned scan)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_lines = int(os.environ.get("SPARK_GRAFT_BENCH_LINES", "2000000"))
+
+    from hnormalise_spark import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
+    spark.range(10).count()  # JVM warm-up
+
+    # --- leg 1: end-to-end normalisation throughput --------------------
+    # Corpus lives in /tmp keyed by size, generated once (datagen is
+    # deterministic, so every run and both parallelism levels see the
+    # exact same input bytes).
+    from pyspark.sql import functions as F
+
+    from hnormalise_spark import datagen, jsonout
+    from hnormalise_spark.pipeline import counts, normalise_tokens
+
+    corpus = f"/tmp/hnorm_bench_corpus_{n_lines}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        shutil.rmtree(corpus, ignore_errors=True)
+        datagen.write_corpus(spark, corpus, n_lines, partitions=int(cpus) * 4 if cpus.isdigit() else None)
+
+    t0 = time.perf_counter()
+    df = spark.read.parquet(corpus)
+    parsed = normalise_tokens(df)
+    out = parsed.withColumn(
+        "json", F.when(F.col("parse_ok"), jsonout.encode_normalised())
+    )
+    force(out)  # parse + route columns + reference-shaped JSON line
+    count_rows = {
+        (r["source"], r["parser"], r["parse_ok"]): r["n"]
+        for r in counts(parsed).collect()
+    }
+    wall = time.perf_counter() - t0
+    lps = n_lines / wall
+
+    # --- leg 2: per-query wall clock -----------------------------------
+    q_secs: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
+        import __spark_entry__ as entry
+
+        for name, fn in entry.queries().items():
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            q_secs[name] = round(time.perf_counter() - t0, 3)
+
+    n_success = sum(v for (s, p, ok), v in count_rows.items() if ok)
+    result = {
+        "metric": "normalised lines/sec (tokens->parse->route->json->counts)",
+        "value": round(lps, 1),
+        "unit": "lines/s",
+        "queries": q_secs,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "bench_lines": n_lines,
+        "pipeline_wall_sec": round(wall, 2),
+        "success_lines": n_success,
+        "fail_lines": n_lines - n_success,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -68,14 +68,13 @@ def minhash_signature(shingles: Column, k: int = 16) -> Column:
     """k-permutation MinHash where h_i(s) = md5(i || s); the signature
     keeps the lexicographic minimum hex digest per permutation —
     min-of-hash semantics without engine-specific integer hashing."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(str(i)), s)))
-            )
-            for i in range(k)
-        ]
-    )
+    def perm(i: int) -> Column:
+        # close over the literal — extra lambda params would be (mis)read
+        # by PySpark as a request for the element-index argument
+        prefix = F.lit(str(i))
+        return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(prefix, s))))
+
+    return F.array(*[perm(i) for i in range(k)])
 
 
 def band_keys(signature: Column, bands: int, rows: int) -> Column:
@@ -140,38 +139,50 @@ def minhash_lsh_dedup(
 # ---------------------------------------------------------------------------
 # SimHash
 
+SIMHASH_BITS = 60  # 15 hex chars via conv() — 16 could overflow the sign bit
 
-def simhash64(text: Column, n: int = 4) -> Column:
-    """64-bit SimHash over character n-grams: bit j of the sketch is the
-    majority vote of bit j of md5(shingle) weighted ±1.
 
-    Uses the first 16 hex chars of md5 as a 64-bit integer via conv();
-    per-bit vote with bitwise ops — all JVM expressions.
-    """
-    sh = char_shingles(text, n)
-    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
-    # 60 usable bits from 15 hex chars (conv of 16 chars can overflow sign)
-    bits = 60
-    votes = [
-        F.aggregate(
-            h,
+def shingle_hashes(text: Column, n: int = 4) -> Column:
+    """Per-shingle 60-bit hash array (conv of the first 15 md5 hex
+    chars). Materialize this as a column first so the 60 per-bit votes
+    below read the array instead of re-hashing 60×."""
+    return F.transform(
+        char_shingles(text, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """60-bit SimHash: bit j of the sketch is the majority vote of bit j
+    across the shingle hashes, weighted ±1."""
+    def vote(j: int) -> Column:
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            hashes,
             F.lit(0).cast("long"),
-            lambda acc, v, j=j: acc + F.when(v.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1),
+            lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
-        for j in range(bits)
-    ]
+
     out = F.lit(0).cast("long")
-    for j, v in enumerate(votes):
-        out = out + F.when(v > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    for j in range(SIMHASH_BITS):
+        out = out + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(text: Column, n: int = 4) -> Column:
+    """One-shot SimHash expression (prefer the two-step
+    shingle_hashes → simhash_from_hashes in real plans)."""
+    return simhash_from_hashes(shingle_hashes(text, n))
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Bucket by exact SimHash value (cheap near-dup pass for
     boilerplate-heavy corpora); returns per-row sketch + bucket stats."""
     w = Window.partitionBy("simhash")
     return (
-        df.withColumn("simhash", simhash64(F.col(text_col)))
+        df.withColumn("_sh_hashes", shingle_hashes(F.col(text_col), n))
+        .withColumn("simhash", simhash_from_hashes(F.col("_sh_hashes")))
+        .drop("_sh_hashes")
         .withColumn("bucket_size", F.count(F.lit(1)).over(w))
         .withColumn("is_near_dup", F.col("bucket_size") > 1)
     )
@@ -181,25 +192,28 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # n-gram Jaccard (direct pairwise verify)
 
 
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalised text; texts shorter than
+    n words collapse to one gram (the whole text)."""
+    words = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    cnt = F.size(words)
+    return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+            )
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df_a: DataFrame, df_b: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Jaccard over word n-grams for explicitly joined pairs (the
     verify step of a candidate generator; not an all-pairs operator)."""
-    def grams(col: Column) -> Column:
-        words = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
-        cnt = F.size(words)
-        return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), cnt - n),
-                    lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-                )
-            )
-        )
-
-    a = df_a.select(F.col(id_col).alias("id_a"), grams(F.col(text_col)).alias("g_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"), grams(F.col(text_col)).alias("g_b"))
+    a = df_a.select(F.col(id_col).alias("id_a"), word_ngrams(F.col(text_col), n).alias("g_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), word_ngrams(F.col(text_col), n).alias("g_b"))
     return a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard")
     )

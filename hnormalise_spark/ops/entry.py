@@ -1,0 +1,545 @@
+"""Driver-contract queries for the training-data operators (SURVEY §2.7
+plus the dedup/similarity/multimodal/text-analysis suite).
+
+Each ``q_*`` runs the REAL library operator on the driver's parquet
+tables; the paired ``_oracle_*`` recomputes the same result in pure
+DuckDB SQL (md5-based hashing everywhere so both engines agree bit for
+bit). Floating-point outputs are compared as ``floor(x*10^k + 0.5)``
+fixed-point integers — identical doubles floor identically, whereas
+HALF_UP rounding differs between engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEXD = "0123456789abcdef"
+
+
+def _hexv(s: str, pos: int) -> str:
+    """DuckDB expr: value of hex digit at 1-based `pos` of string `s`."""
+    return f"(strpos('{_HEXD}', substr({s}, {pos}, 1)) - 1)"
+
+
+# ---------------------------------------------------------------------------
+# text analysis (ops.textops)
+
+
+def q_text_analyze(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID, quality scoring, token counting, fingerprinting —
+    one JVM-expression pass over the documents table."""
+    from hnormalise_spark.ops import textops as T
+
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    t = F.col("text")
+    cc = T.char_class_counts(t)
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count(t).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(t).cast("long").alias("n_bpe_tokens"),
+        cc["n_alpha"].cast("long").alias("n_alpha"),
+        cc["n_digit"].cast("long").alias("n_digit"),
+        cc["n_punct"].cast("long").alias("n_punct"),
+        F.floor(T.quality_score(t) * F.lit(10000.0) + F.lit(0.5)).cast("long").alias("quality_x1e4"),
+        T.lang_id(t).alias("lang_pred"),
+        T.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def _oracle_text_analyze() -> str:
+    from hnormalise_spark.ops.textops import LANG_MARKERS
+
+    hits = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in words
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(hits)
+    lang_cases = " ".join(
+        f"WHEN h_{lang} >= 2 AND "
+        + " AND ".join(f"h_{lang} >= h_{o}" for o in langs if o != lang)
+        + f" THEN '{lang}'"
+        for lang in langs
+    )
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             greatest(length(text), 1) AS n,
+             {hit_cols}
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_bpe_tokens,
+           n_alpha, n_digit, n_punct,
+           floor(((n_alpha / n) * 0.6
+                  + CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END * 0.3
+                  + (1.0 - least((n_punct / n) * 4, 1.0)) * 0.1) * 10000.0 + 0.5)::BIGINT AS quality_x1e4,
+           CASE {lang_cases} ELSE 'und' END AS lang_pred,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM base
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+_DUP_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, '  ' || upper(text) FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+def q_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup on the md5 fingerprint of whitespace/case-normalised
+    text; injected dups (+100000 ids, re-cased, re-spaced) must land in
+    their source's group."""
+    from hnormalise_spark.ops import dedup as D
+
+    out = D.exact_dedup(_docs_with_exact_dups(spark, sf))
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
+
+
+def _oracle_exact_dedup() -> str:
+    return f"""
+    WITH all_docs AS ({_DUP_SQL}),
+    f AS (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+          FROM all_docs)
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS group_size,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS keeper_id,
+           CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY fingerprint)
+                THEN 1 ELSE 0 END AS is_dup
+    FROM f
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+
+
+_NEARDUP_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' qq ww ee rr tt' FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """shingle → MinHash → LSH band bucket join → Jaccard verify.
+    Injected near-dups (small suffix appended) must pair with their
+    source; the oracle replays the identical md5-derived LSH."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mut = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq ww ee rr tt")).alias("text"),
+    )
+    pairs = D.minhash_lsh_dedup(
+        docs.unionByName(mut), n=5, k=16, bands=4, threshold=0.5
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("jacc_x1e6"),
+    )
+
+
+def _oracle_minhash_lsh() -> str:
+    k, bands, rows = 16, 4, 4
+    sig = ", ".join(
+        f"list_min(list_transform(s, x -> md5('{i}' || x))) AS g{i}" for i in range(k)
+    )
+    band_list = ", ".join(
+        f"md5('b{b}:' || " + " || '|' || ".join(f"g{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH all_docs AS ({_NEARDUP_SQL}),
+    norm AS (SELECT doc_id AS id,
+                    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+             FROM all_docs),
+    sh AS (SELECT id,
+                  CASE WHEN length(t) < 5 THEN [t]
+                       ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                         i -> substr(t, i, 5))) END AS s
+           FROM norm),
+    sig AS (SELECT id, s, {sig} FROM sh),
+    band AS (SELECT id, s, unnest([{band_list}]) AS bk FROM sig),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS la, len(b.s) AS lb
+              FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id)
+    SELECT id_a, id_b,
+           floor(inter / (la + lb - inter) * 1000000.0 + 0.5)::BIGINT AS jacc_x1e6
+    FROM pairs WHERE inter / (la + lb - inter) >= 0.5
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """60-bit SimHash sketch per document + bucket stats — the value
+    itself is oracle-checked bit for bit."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = D.simhash_dedup(docs, n=4)
+    return out.select(
+        "doc_id",
+        F.col("simhash").alias("simhash"),
+        F.col("bucket_size").cast("long").alias("bucket_size"),
+        F.col("is_near_dup").cast("int").alias("is_near_dup"),
+    )
+
+
+def _oracle_simhash() -> str:
+    from hnormalise_spark.ops.dedup import SIMHASH_BITS
+
+    votes = []
+    for j in range(SIMHASH_BITS):
+        pos = 15 - j // 4
+        bit = j % 4
+        votes.append(
+            f"list_sum(list_transform(hl, h -> CASE WHEN ({_hexv('h', pos)} >> {bit}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) AS v{j}"
+        )
+    sim = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  CASE WHEN length(t) < 4 THEN [t]
+                       ELSE list_distinct(list_transform(range(1, length(t) - 2),
+                                                         i -> substr(t, i, 4))) END AS s
+           FROM norm),
+    hl AS (SELECT doc_id, list_transform(s, x -> substr(md5(x), 1, 15)) AS hl FROM sh),
+    v AS (SELECT doc_id, {', '.join(votes)} FROM hl),
+    sim AS (SELECT doc_id, {sim} AS simhash FROM v)
+    SELECT doc_id, simhash,
+           count(*) OVER (PARTITION BY simhash) AS bucket_size,
+           CASE WHEN count(*) OVER (PARTITION BY simhash) > 1 THEN 1 ELSE 0 END AS is_near_dup
+    FROM sim
+    """
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-trigram Jaccard between each doc and a suffixed mutation —
+    the verify step of the near-dup pipeline, isolated."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ga = D.word_ngrams(F.col("text"), 3)
+    gb = D.word_ngrams(F.concat(F.col("text"), F.lit(" zz yy xx ww")), 3)
+    return docs.select(
+        "doc_id",
+        F.size(ga).cast("long").alias("n_grams_a"),
+        F.size(gb).cast("long").alias("n_grams_b"),
+        F.floor(D.jaccard(ga, gb) * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("jacc_x1e6"),
+    )
+
+
+def _oracle_ngram_jaccard() -> str:
+    def grams(src: str, out: str) -> str:
+        return (
+            f"CASE WHEN len({src}) < 3 THEN [array_to_string({src}, ' ')] "
+            f"ELSE list_distinct(list_transform(range(0, len({src}) - 2), "
+            f"i -> {src}[i+1] || ' ' || {src}[i+2] || ' ' || {src}[i+3])) END AS {out}"
+        )
+
+    return f"""
+    WITH w AS (SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS wa,
+                 string_split(lower(trim(regexp_replace(text || ' zz yy xx ww', '\\s+', ' ', 'g'))), ' ') AS wb
+               FROM documents),
+    g AS (SELECT doc_id, {grams('wa', 'ga')}, {grams('wb', 'gb')} FROM w)
+    SELECT doc_id, len(ga) AS n_grams_a, len(gb) AS n_grams_b,
+           floor(len(list_intersect(ga, gb))
+                 / (len(ga) + len(gb) - len(list_intersect(ga, gb)))
+                 * 1000000.0 + 0.5)::BIGINT AS jacc_x1e6
+    FROM g
+    """
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings: vec_id, embedding float[64], label)
+
+EMB_DIM = 64
+QVEC = [((i * 37) % 19 - 9) / 10.0 for i in range(EMB_DIM)]
+_QNORM = math.sqrt(sum(v * v for v in QVEC))
+
+
+def _qvec_sql() -> str:
+    return "[" + ", ".join(repr(v) for v in QVEC) + "]::DOUBLE[]"
+
+
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-50 against a literal query vector
+    (map-side scoring, TakeOrderedAndProject top-k — no shuffle).
+    Ordering ties broken on the fixed-point score + vec_id so both
+    engines select the identical row set."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    scored = S.cosine_scores(emb, QVEC)
+    sel = scored.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+        F.floor(S.norm(F.col("embedding")) * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("l2_x1e6"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+    return sel.orderBy(F.desc("cos_x1e6"), "vec_id").limit(50)
+
+
+def _oracle_similarity_topk() -> str:
+    return f"""
+    WITH s AS (SELECT vec_id,
+                 list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i -> embedding[i]::DOUBLE * ({_qvec_sql()})[i])) AS dot,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+               FROM embeddings)
+    SELECT vec_id,
+           floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT AS cos_x1e6,
+           floor(nrm * 1000000.0 + 0.5)::BIGINT AS l2_x1e6,
+           {EMB_DIM}::BIGINT AS dim
+    FROM s
+    ORDER BY cos_x1e6 DESC, vec_id LIMIT 50
+    """
+
+
+def _planes(n_planes: int, dim: int) -> list[list[float]]:
+    from hnormalise_spark.ops.similarity import _plane
+
+    return [_plane(i, dim) for i in range(n_planes)]
+
+
+ANN_PLANES = 4
+
+
+def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-bit sketch vs deterministic hyperplanes;
+    only the query's bucket is scored (the scale path — with the table
+    written bucketed by sketch this is a single-bucket scan)."""
+    from hnormalise_spark.ops import similarity as S
+
+    planes = _planes(ANN_PLANES, EMB_DIM)
+    q_sketch = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(QVEC, p)) > 0:
+            q_sketch |= 1 << i
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sketched = emb.withColumn("_sketch", S.lsh_sketch(F.col("embedding"), EMB_DIM, ANN_PLANES))
+    bucket = sketched.filter(F.col("_sketch") == q_sketch)
+    scored = S.cosine_scores(bucket, QVEC)
+    return scored.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("_sketch").cast("long").alias("sketch"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    )
+
+
+def _oracle_similarity_ann() -> str:
+    planes = _planes(ANN_PLANES, EMB_DIM)
+    q_sketch = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(QVEC, p)) > 0:
+            q_sketch |= 1 << i
+    plane_dots = [
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> embedding[i]::DOUBLE * "
+        f"([{', '.join(repr(v) for v in p)}]::DOUBLE[])[i]))"
+        for p in planes
+    ]
+    sketch = " + ".join(
+        f"CASE WHEN {d} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i, d in enumerate(plane_dots)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding, {sketch} AS sketch FROM embeddings),
+    b AS (SELECT vec_id, sketch,
+            list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                     i -> embedding[i]::DOUBLE * ({_qvec_sql()})[i])) AS dot,
+            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+          FROM s WHERE sketch = {q_sketch})
+    SELECT vec_id, sketch,
+           floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+    FROM b
+    """
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
+
+N_MEDIA = 200
+
+
+def q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload → stub decode/feature-extract via mapInPandas;
+    the md5-derived fake features are recomputed hex-digit by hex-digit
+    in the SQL oracle."""
+    from hnormalise_spark.ops import multimodal as M
+
+    media = M.synth_media(spark, N_MEDIA)
+    feats = M.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        *[F.element_at(F.col("feature"), i + 1).alias(f"f{i}") for i in range(4)],
+    )
+
+
+def _oracle_multimodal() -> str:
+    feats = ", ".join(
+        f"((16 * {_hexv('d', 2 * i + 1)} + {_hexv('d', 2 * i + 2)}) / 255.0)::FLOAT AS f{i}"
+        for i in range(4)
+    )
+    return f"""
+    WITH m AS (SELECT range AS id FROM range({N_MEDIA})),
+    h AS (SELECT id, md5(md5(id::VARCHAR)) AS d FROM m)
+    SELECT printf('m-%06d', id) AS media_id,
+           CASE WHEN id % 3 = 0 THEN 'image'
+                WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           16::BIGINT AS n_bytes,
+           {feats}
+    FROM h
+    """
+
+
+# ---------------------------------------------------------------------------
+# tokenized-input round trip (BASELINE.json input_hint invariant)
+
+
+def q_tokens_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the canonical (doc_id, tokens:array<int>, n_tok, source)
+    table from constructed syslog lines, parse it via the token path
+    (JVM detokenize → normalise), and prove the round trip: md5 of the
+    detokenized line equals the oracle's md5 of the same construction,
+    and the payload parses."""
+    from hnormalise_spark.pipeline import normalise_tokens
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d sid:%d tty:(none) cwd:/home/u%d filename:/usr/bin/t%d]: t%d -x %d",
+        k % 65536, k % 1000, k % 777, k % 50, k % 9, k % 9, k,
+    )
+    line = F.format_string(
+        "<%d>1 2017-05-24T18:01:%02d.000000+02:00 host%03d tag - %s",
+        k % 190 + 1, k % 60, k % 997, msg,
+    )
+    base = ev.select(F.format_string("tok-%d", k).alias("doc_id"), line.alias("raw0"))
+    tokenized = base.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(raw0)), i -> ascii(substr(raw0, i, 1)))"
+        ).cast("array<int>").alias("tokens"),
+        F.length("raw0").cast("int").alias("n_tok"),
+        F.lit("snoopy").alias("source"),
+    )
+    parsed = normalise_tokens(tokenized)
+    return parsed.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.md5(F.col("raw")).alias("line_md5"),
+        F.col("snoopy")["pid"].cast("long").alias("pid"),
+        F.col("snoopy")["command"].alias("command"),
+    )
+
+
+def _oracle_tokens_roundtrip() -> str:
+    return """
+    WITH l AS (
+      SELECT event_id AS k,
+             printf('<%d>1 2017-05-24T18:01:%02d.000000+02:00 host%03d tag - snoopy[%d]::  [uid:%d sid:%d tty:(none) cwd:/home/u%d filename:/usr/bin/t%d]: t%d -x %d',
+                    event_id % 190 + 1, event_id % 60, event_id % 997,
+                    event_id % 65536, event_id % 1000, event_id % 777,
+                    event_id % 50, event_id % 9, event_id % 9, event_id) AS line
+      FROM events)
+    SELECT 'tok-' || k AS doc_id,
+           length(line) AS n_tok,
+           1 AS parse_ok,
+           md5(line) AS line_md5,
+           k % 65536 AS pid,
+           printf('t%d -x %d', k % 9, k) AS command
+    FROM l
+    """
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+def queries():
+    return {
+        "text_analyze": q_text_analyze,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann": q_similarity_ann,
+        "multimodal_features": q_multimodal,
+        "tokens_roundtrip": q_tokens_roundtrip,
+    }
+
+
+def oracle_sql():
+    return {
+        "text_analyze": _oracle_text_analyze(),
+        "exact_dedup": _oracle_exact_dedup(),
+        "minhash_lsh": _oracle_minhash_lsh(),
+        "simhash": _oracle_simhash(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "similarity_topk": _oracle_similarity_topk(),
+        "similarity_ann": _oracle_similarity_ann(),
+        "multimodal_features": _oracle_multimodal(),
+        "tokens_roundtrip": _oracle_tokens_roundtrip(),
+    }

@@ -50,12 +50,13 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """STUB decode/feature-extract: deterministic md5-derived features.
+    """STUB decode/feature-extract: deterministic md5-derived features
+    (hashing the hex form keeps the oracle expressible in ANSI SQL).
 
     Replace with a real codec (PIL image decode → resize → embed;
     librosa frame-sample) — the UDF signature and batch shape stay.
     """
-    h = hashlib.md5(payload).digest()
+    h = hashlib.md5(payload.hex().encode()).digest()
     return [b / 255.0 for b in h[:dim]]
 
 

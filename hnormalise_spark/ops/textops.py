@@ -45,15 +45,17 @@ def char_class_counts(text: Column) -> dict[str, Column]:
 def quality_score(text: Column) -> Column:
     """Deterministic [0,1] quality score: alpha ratio, blended with a
     word-count band and a punctuation penalty (the usual pre-training
-    heuristics, kept SQL-mirrorable)."""
+    heuristics, kept SQL-mirrorable). Unrounded double — callers that
+    need a stable cross-engine compare use floor(x*1e4+0.5) (HALF_UP
+    rounding differs between engines; floor on the same double never
+    does)."""
     n = F.greatest(F.length(text), F.lit(1))
     cc = char_class_counts(text)
     alpha_ratio = cc["n_alpha"] / n
     punct_ratio = cc["n_punct"] / n
     words = token_count(text)
     words_ok = F.when((words >= 5) & (words <= 10000), F.lit(1.0)).otherwise(F.lit(0.3))
-    score = alpha_ratio * F.lit(0.6) + words_ok * F.lit(0.3) + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * F.lit(0.1)
-    return F.round(score, 4)
+    return alpha_ratio * F.lit(0.6) + words_ok * F.lit(0.3) + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * F.lit(0.1)
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -102,7 +104,7 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             "n_tokens": token_count(t),
             "n_bpe_tokens": bpe_ish_token_count(t),
             **cc,
-            "quality": quality_score(t),
+            "quality": F.round(quality_score(t), 4),
             "lang_pred": lang_id(t),
             "fingerprint": fingerprint(t),
         }
