@@ -616,6 +616,68 @@ def _oracle_json_snoopy() -> str:
 # snoopy pid in q_json: pid printed as %d of k (not k%65536) — keep k small via events ids.
 
 
+def q_json_input(spark: SparkSession, sf: str) -> DataFrame:
+    """P4: rsyslog %jsonmesg% JSON-mode input (normaliseJsonInput) —
+    from_json envelope, msg-only payload parse; malformed JSON and
+    missing mandatory members route to failure."""
+    from hnormalise_spark.pipeline import normalise_json
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d sid:%d tty:(none) cwd:/w%d filename:/bin/b%d]: b%d run %d",
+        k % 65536, k % 1000, k % 777, k % 50, k % 9, k % 9, k,
+    )
+    good = F.format_string(
+        '{"msg":"%s","timereported":"2017-05-24T18:01:%02d.000000+02:00",'
+        '"hostname":"h%d","syslogtag":"t%d:","inputname":"imtcp","fromhost":"h%d",'
+        '"fromhost-ip":"10.0.0.%d","pri":%d,"version":1,"syslogfacility":"1",'
+        '"syslogseverity":"6","timegenerated":"2017-05-24T18:01:00.000000+02:00",'
+        '"programname":"snoopy","protocol-version":"0","app-name":"snoopy","procid":"-"}',
+        msg, k % 60, k % 100, k % 9, k % 100, k % 250, k % 190 + 1,
+    )
+    missing = F.format_string(  # no mandatory app-name → aeson decode fails
+        '{"msg":"%s","timereported":"2017-05-24T18:01:00.000000+02:00",'
+        '"hostname":"h%d","syslogtag":"t:","inputname":"imtcp","fromhost":"h%d",'
+        '"fromhost-ip":"10.0.0.1","pri":1,"syslogfacility":"1","syslogseverity":"6",'
+        '"programname":"snoopy","protocol-version":"0","procid":"-"}',
+        msg, k % 100, k % 9,
+    )
+    badjson = F.format_string("not json at all %d", k)
+    line = F.when(k % 7 == 0, missing).when(k % 7 == 1, badjson).otherwise(good)
+    parsed = normalise_json(
+        ev.select(F.format_string("ji-%d", k).alias("doc_id"), line.alias("raw"))
+    )
+    s = F.col("snoopy")
+    return parsed.select(
+        "doc_id",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("pri").cast("long").alias("pri"),
+        F.col("hostname").alias("hostname"),
+        F.col("fromhost_ip").alias("fromhost_ip"),
+        F.col("programname").alias("programname"),
+        s["pid"].cast("long").alias("pid"),
+        s["command"].alias("command"),
+    )
+
+
+def _oracle_json_input() -> str:
+    return """
+    SELECT 'ji-' || event_id AS doc_id,
+           CASE WHEN event_id % 7 IN (0, 1) THEN 0 ELSE 1 END AS parse_ok,
+           CASE WHEN event_id % 7 NOT IN (0, 1) THEN event_id % 190 + 1 END AS pri,
+           CASE WHEN event_id % 7 NOT IN (0, 1) THEN 'h' || (event_id % 100) END AS hostname,
+           CASE WHEN event_id % 7 NOT IN (0, 1) THEN '10.0.0.' || (event_id % 250) END AS fromhost_ip,
+           CASE WHEN event_id % 7 NOT IN (0, 1) THEN 'snoopy' END AS programname,
+           CASE WHEN event_id % 7 NOT IN (0, 1) THEN event_id % 65536 END AS pid,
+           CASE WHEN event_id % 7 NOT IN (0, 1)
+                THEN printf('b%d run %d', event_id % 9, event_id) END AS command
+    FROM events
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mixed-corpus parse → route → per-(source,parser,ok)
     counts on sf0.001 (the reference's end-to-end dataflow)."""
@@ -638,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_list": q_host_list,
         "enrich_broadcast": q_enrich_broadcast,
         "json_encode_snoopy": q_json_encode_snoopy,
+        "json_input": q_json_input,
     }
 
 
@@ -657,4 +720,5 @@ def oracle_sql() -> dict[str, str]:
         "host_list": _oracle_host_list(),
         "enrich_broadcast": _oracle_enrich(),
         "json_encode_snoopy": _oracle_json_snoopy(),
+        "json_input": _oracle_json_input(),
     }

@@ -48,26 +48,26 @@ def main() -> int:
     # Corpus lives in /tmp keyed by size, generated once (datagen is
     # deterministic, so every run and both parallelism levels see the
     # exact same input bytes).
-    from pyspark.sql import functions as F
-
-    from hnormalise_spark import datagen, jsonout
-    from hnormalise_spark.pipeline import counts, normalise_tokens
+    from hnormalise_spark import datagen
+    from hnormalise_spark.pipeline import normalise_tokens
 
     corpus = f"/tmp/hnorm_bench_corpus_{n_lines}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         shutil.rmtree(corpus, ignore_errors=True)
         datagen.write_corpus(spark, corpus, n_lines, partitions=int(cpus) * 4 if cpus.isdigit() else None)
 
+    from hnormalise_spark import sinks
+
+    out_dir = f"/tmp/hnorm_bench_out_{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
     df = spark.read.parquet(corpus)
     parsed = normalise_tokens(df)
-    out = parsed.withColumn(
-        "json", F.when(F.col("parse_ok"), jsonout.encode_normalised())
-    )
-    force(out)  # parse + route columns + reference-shaped JSON line
+    # the production path: one staged parse→route→json write + counts
+    paths = sinks.run_batch(spark, parsed, out_dir, json_line=True)
     count_rows = {
         (r["source"], r["parser"], r["parse_ok"]): r["n"]
-        for r in counts(parsed).collect()
+        for r in spark.read.parquet(paths["counts"]).collect()
     }
     wall = time.perf_counter() - t0
     lps = n_lines / wall

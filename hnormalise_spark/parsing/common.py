@@ -39,16 +39,22 @@ RE_NODE_ELEM = r"^(?:\d+(?::ppn=\d+)?|[^0-9:][^:]*(?::ppn=\d+)?)$"
 # Whole '+'-separated node list as ONE anchored regex (possessive
 # quantifiers — no backtracking, stays in whole-stage codegen; the
 # split+forall form is a CodegenFallback HOF and ~1000× slower/row).
-_NODE_ELEM_P = r"(?:\d++(?::ppn=\d++)?+|[^0-9:+][^:+]*+(?::ppn=\d++)?+)"
-RE_NODE_LIST = rf"^{_NODE_ELEM_P}(?:\+{_NODE_ELEM_P})*+$"
+# \s excluded so the same body can embed inside the torque fast-path
+# mega-regex without eating the following ' Resource_List.*' tokens
+# (isolated KV values never contain spaces — str_to_map splits on ' ').
+_NODE_ELEM_P = r"(?:\d++(?::ppn=\d++)?+|[^0-9:+\s][^:+\s]*+(?::ppn=\d++)?+)"
+NODE_LIST_P = rf"{_NODE_ELEM_P}(?:\+{_NODE_ELEM_P})*+"
+RE_NODE_LIST = rf"^{NODE_LIST_P}$"
 
 # One element of an exec_host list (parseTorqueHostList, :291-311):
 # fqdn/corespec where corespec is a comma list of ints and lo-hi ranges.
 RE_HOST_ELEM = r"^[^/]*/\d+(-\d+)?(,\d+(-\d+)?)*$"
 
-# Whole exec_host value as one anchored possessive regex.
-_HOST_ELEM_P = r"[^/+]*+/\d++(?:-\d++)?+(?:,\d++(?:-\d++)?+)*+"
-RE_HOST_LIST = rf"^{_HOST_ELEM_P}(?:\+{_HOST_ELEM_P})*+$"
+# Whole exec_host value as one anchored possessive regex (\s excluded
+# for mega-regex embedding, see NODE_LIST_P).
+_HOST_ELEM_P = r"[^/+\s]*+/\d++(?:-\d++)?+(?:,\d++(?:-\d++)?+)*+"
+HOST_LIST_P = rf"{_HOST_ELEM_P}(?:\+{_HOST_ELEM_P})*+"
+RE_HOST_LIST = rf"^{HOST_LIST_P}$"
 
 # Host value accepted by hostnameOrIPParser (Common/Parser.hs:53-64):
 # IPv4 | IPv6 | lowercase dotted hostname. The reference would leave
@@ -64,6 +70,31 @@ RE_HOST_OR_IP = (
 def nullif_empty(c: Column) -> Column:
     """'' → null (regexp_extract yields '' for a non-participating group)."""
     return F.when(c != "", c)
+
+
+# ---------------------------------------------------------------------------
+# single-pass multi-group extraction
+#
+# regexp_extract runs the whole regex once PER GROUP, so an 8-group
+# envelope costs 8 full matches per row. Packing every group into one
+# regexp_replace and splitting on \x01 costs exactly ONE match per row,
+# and match success is detected from the split arity (a non-matching
+# regexp_replace returns its input unchanged, which contains no \x01).
+
+SEP = "\x01"
+
+
+def packed_groups(s: Column, pattern: str, n_groups: int) -> Column:
+    """ONE regex execution extracting all capture groups of an
+    anchored-whole-string `pattern`: array<string> of size `n_groups`
+    on match; a smaller (typically 1-element) array on mismatch —
+    callers gate on ``packed_ok``. Non-participating groups yield ''."""
+    repl = SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    return F.split(F.regexp_replace(s, pattern, repl), SEP, -1)
+
+
+def packed_ok(arr: Column, n_groups: int) -> Column:
+    return F.size(arr) == n_groups
 
 
 # ---------------------------------------------------------------------------
@@ -126,15 +157,20 @@ def memory_valid(s: Column) -> Column:
 
 
 def memory_bytes(s: Column) -> Column:
-    """'123kb' → 125952 (×1024ⁿ, case-insensitive unit) else null."""
-    value = F.regexp_extract(s, RE_MEMORY, 1).cast("long")
-    unit = F.lower(F.regexp_extract(s, RE_MEMORY, 2))
+    """'123kb' → 125952 (×1024ⁿ, case-insensitive unit) else null.
+
+    One regex run (the validity rlike); value/unit come from substring
+    arithmetic instead of two more regexp_extract passes."""
+    l = F.lower(s)
+    two = l.endswith("kb") | l.endswith("mb") | l.endswith("gb")
+    unit_len = F.when(two, F.lit(2)).otherwise(F.lit(1))
     mult = (
-        F.when(unit == "b", F.lit(1))
-        .when(unit == "kb", F.lit(1024))
-        .when(unit == "mb", F.lit(1024 * 1024))
-        .when(unit == "gb", F.lit(1024 * 1024 * 1024))
+        F.when(l.endswith("kb"), F.lit(1024))
+        .when(l.endswith("mb"), F.lit(1024 * 1024))
+        .when(l.endswith("gb"), F.lit(1024 * 1024 * 1024))
+        .otherwise(F.lit(1))
     ).cast("long")
+    value = s.substr(F.lit(1), F.length(s) - unit_len).cast("long")
     return F.when(memory_valid(s), value * mult)
 
 
@@ -167,22 +203,28 @@ def job_name_valid(s: Column) -> Column:
     return s.rlike(RE_JOB_NAME)
 
 
+# full-string form of RE_JOB_NAME for single-pass packed extraction
+_RE_JOB_NAME_FULL = r"(?s)^(\d+)(?:\[(\d*)\]|-(\d+))?\.([^.]*)\.([^.]*).*$"
+
+
 def job_name_struct(s: Column) -> Column:
     """→ {number, array_id, master, cluster}; '[]' ⇒ array_id null
-    (ParserSpec.hs:712-718); '-N' dash form supported (:125-127)."""
-    number = F.regexp_extract(s, RE_JOB_NAME, 1).cast("long")
-    arr_bracket = nullif_empty(F.regexp_extract(s, RE_JOB_NAME, 2))
-    arr_dash = nullif_empty(F.regexp_extract(s, RE_JOB_NAME, 3))
-    array_id = F.coalesce(arr_bracket, arr_dash).cast("long")
-    master = F.regexp_extract(s, RE_JOB_NAME, 4)
-    cluster = F.regexp_extract(s, RE_JOB_NAME, 5)
+    (ParserSpec.hs:712-718); '-N' dash form supported (:125-127).
+
+    One regex pass: all five groups packed and split (match success is
+    the packed arity, so not even a validity rlike is needed)."""
+    a = packed_groups(s, _RE_JOB_NAME_FULL, 5)
+    number = F.element_at(a, 1).cast("long")
+    array_id = F.coalesce(
+        nullif_empty(F.element_at(a, 2)), nullif_empty(F.element_at(a, 3))
+    ).cast("long")
     return F.when(
-        job_name_valid(s),
+        packed_ok(a, 5),
         F.struct(
             number.alias("number"),
             array_id.alias("array_id"),
-            master.alias("master"),
-            cluster.alias("cluster"),
+            F.element_at(a, 4).alias("master"),
+            F.element_at(a, 5).alias("cluster"),
         ),
     )
 

@@ -29,23 +29,33 @@ RE_LOAD = _INFO + r"\s*userload=((?i:yes|no)),\s*module=([^/]*)/([^,]*),\s*fn=(\
 RE_COMMAND = _INFO + r"\s*cmd=([^,]*),\s*args=(\S*)"
 
 
+# Trailing-text tolerance (the reference leaves the rest unconsumed);
+# a throwaway tail group makes the match whole-string so packed
+# extraction (ONE regex run per attempted variant) applies.
+_TAIL = r"((?s:.*))$"
+_N_LOAD, _N_CMD = 8, 6  # groups incl. tail
+
+
 def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
-    is_load = F.when(gate, msg.rlike(RE_LOAD)).otherwise(F.lit(False))
-    layer1 = {"_lm_is_load": is_load}
-    is_load_c = F.col("_lm_is_load")
-    is_cmd = F.when(gate & ~is_load_c, msg.rlike(RE_COMMAND)).otherwise(F.lit(False))
-    layer2 = {"_lm_is_cmd": is_cmd}
+    layer1 = {"_lm_al": F.when(gate, C.packed_groups(msg, RE_LOAD + _TAIL, _N_LOAD))}
+    layer2 = {"_lm_is_load": F.coalesce(C.packed_ok(F.col("_lm_al"), _N_LOAD), F.lit(False))}
+    layer3 = {
+        "_lm_ac": F.when(
+            gate & ~F.col("_lm_is_load"), C.packed_groups(msg, RE_COMMAND + _TAIL, _N_CMD)
+        ),
+    }
+    layer4 = {"_lm_is_cmd": F.coalesce(C.packed_ok(F.col("_lm_ac"), _N_CMD), F.lit(False))}
 
     def gl(i: int) -> Column:
-        return F.when(F.col("_lm_is_load"), F.regexp_extract(msg, RE_LOAD, i))
+        return F.when(F.col("_lm_is_load"), F.element_at(F.col("_lm_al"), i))
 
     def gc(i: int) -> Column:
-        return F.when(F.col("_lm_is_cmd"), F.regexp_extract(msg, RE_COMMAND, i))
+        return F.when(F.col("_lm_is_cmd"), F.element_at(F.col("_lm_ac"), i))
 
     def pick(i: int) -> Column:
         return F.coalesce(gl(i), gc(i))
 
-    layer3 = {
+    layer5 = {
         "_lm_username": pick(1),
         "_lm_cluster": pick(2),
         "_lm_jobid_raw": pick(3),
@@ -56,7 +66,7 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
         "_lm_cmd": gc(4),
         "_lm_args": gc(5),
     }
-    return [layer1, layer2, layer3]
+    return [layer1, layer2, layer3, layer4, layer5]
 
 
 def result() -> tuple[Column, Column, Column]:
@@ -123,6 +133,7 @@ def result() -> tuple[Column, Column, Column]:
 
 
 INTERMEDIATE_COLS = [
+    "_lm_al", "_lm_ac",
     "_lm_is_load", "_lm_is_cmd", "_lm_username", "_lm_cluster", "_lm_jobid_raw",
     "_lm_userload", "_lm_mod_name", "_lm_mod_version", "_lm_fn", "_lm_cmd", "_lm_args",
 ]

@@ -31,29 +31,46 @@ RE_UDP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?)PROTO=UDP\s+SPT=(
 RE_ICMP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?) PROTO=ICMP"
 
 
+# The protocol regexes tolerate trailing text (the reference's final
+# takeText); a throwaway tail group makes each match whole-string so
+# packed extraction (ONE regex run per attempted protocol) applies.
+_TAIL = r"((?s:.*))$"
+_N_TCP, _N_UDP, _N_ICMP = 10, 9, 7  # groups incl. tail
+
+
 def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
     layer1 = {
-        "_sw_is_tcp": F.when(gate, msg.rlike(RE_TCP)).otherwise(F.lit(False)),
+        "_sw_at": F.when(gate, C.packed_groups(msg, RE_TCP + _TAIL, _N_TCP)),
     }
     layer2 = {
-        "_sw_is_udp": F.when(
-            gate & ~F.col("_sw_is_tcp"), msg.rlike(RE_UDP)
-        ).otherwise(F.lit(False)),
+        "_sw_is_tcp": F.coalesce(C.packed_ok(F.col("_sw_at"), _N_TCP), F.lit(False)),
     }
     layer3 = {
-        "_sw_is_icmp": F.when(
-            gate & ~F.col("_sw_is_tcp") & ~F.col("_sw_is_udp"), msg.rlike(RE_ICMP)
-        ).otherwise(F.lit(False)),
+        "_sw_au": F.when(
+            gate & ~F.col("_sw_is_tcp"), C.packed_groups(msg, RE_UDP + _TAIL, _N_UDP)
+        ),
+    }
+    layer4 = {
+        "_sw_is_udp": F.coalesce(C.packed_ok(F.col("_sw_au"), _N_UDP), F.lit(False)),
+    }
+    layer5 = {
+        "_sw_ai": F.when(
+            gate & ~F.col("_sw_is_tcp") & ~F.col("_sw_is_udp"),
+            C.packed_groups(msg, RE_ICMP + _TAIL, _N_ICMP),
+        ),
+    }
+    layer6 = {
+        "_sw_is_icmp": F.coalesce(C.packed_ok(F.col("_sw_ai"), _N_ICMP), F.lit(False)),
     }
 
     def gt(i: int) -> Column:
-        return F.when(F.col("_sw_is_tcp"), F.regexp_extract(msg, RE_TCP, i))
+        return F.when(F.col("_sw_is_tcp"), F.element_at(F.col("_sw_at"), i))
 
     def gu(i: int) -> Column:
-        return F.when(F.col("_sw_is_udp"), F.regexp_extract(msg, RE_UDP, i))
+        return F.when(F.col("_sw_is_udp"), F.element_at(F.col("_sw_au"), i))
 
     def gi(i: int) -> Column:
-        return F.when(F.col("_sw_is_icmp"), F.regexp_extract(msg, RE_ICMP, i))
+        return F.when(F.col("_sw_is_icmp"), F.element_at(F.col("_sw_ai"), i))
 
     def pick(t, u, i) -> Column:
         return F.coalesce(
@@ -62,7 +79,7 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
             gi(i) if i else F.lit(None).cast("string"),
         )
 
-    layer4 = {
+    layer7 = {
         "_sw_rule": pick(1, 1, 1),
         "_sw_target": pick(2, 2, 2),
         "_sw_in": pick(3, 3, 3),
@@ -73,7 +90,7 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
         "_sw_spt": pick(8, 7, 0),
         "_sw_dpt": pick(9, 8, 0),
     }
-    return [layer1, layer2, layer3, layer4]
+    return [layer1, layer2, layer3, layer4, layer5, layer6, layer7]
 
 
 def result() -> tuple[Column, Column, Column]:
@@ -105,6 +122,7 @@ def result() -> tuple[Column, Column, Column]:
 
 
 INTERMEDIATE_COLS = [
+    "_sw_at", "_sw_au", "_sw_ai",
     "_sw_is_tcp", "_sw_is_udp", "_sw_is_icmp", "_sw_rule", "_sw_target",
     "_sw_in", "_sw_out", "_sw_mac", "_sw_src", "_sw_dst", "_sw_spt", "_sw_dpt",
 ]

@@ -27,29 +27,31 @@ RE_SNOOPY = (
 
 
 def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
-    layer1 = {"_sn_ok": F.when(gate, msg.rlike(RE_SNOOPY)).otherwise(F.lit(False))}
-
-    def g(i: int) -> Column:
-        return F.when(F.col("_sn_ok"), F.regexp_extract(msg, RE_SNOOPY, i))
-
-    layer2 = {f"_sn_g{i}": g(i) for i in range(1, 9)}
+    # ONE regex execution: packed extraction of all 8 groups; match
+    # success is the packed arity.
+    layer1 = {"_sn_a": F.when(gate, C.packed_groups(msg, RE_SNOOPY, 8))}
+    layer2 = {"_sn_ok": F.coalesce(C.packed_ok(F.col("_sn_a"), 8), F.lit(False))}
     return [layer1, layer2]
 
 
 def result() -> tuple[Column, Column, Column]:
     ok = F.col("_sn_ok")
+
+    def g(i: int) -> Column:
+        return F.element_at(F.col("_sn_a"), i)
+
     payload = F.struct(
-        F.col("_sn_g1").cast("int").alias("pid"),
-        F.col("_sn_g2").cast("int").alias("uid"),
-        C.nullif_empty(F.col("_sn_g3")).alias("username"),
-        F.col("_sn_g4").cast("int").alias("sid"),
-        F.col("_sn_g5").alias("tty"),
-        F.col("_sn_g6").alias("cwd"),
-        F.col("_sn_g7").alias("executable"),
-        F.col("_sn_g8").alias("command"),
+        g(1).cast("int").alias("pid"),
+        g(2).cast("int").alias("uid"),
+        C.nullif_empty(g(3)).alias("username"),
+        g(4).cast("int").alias("sid"),
+        g(5).alias("tty"),
+        g(6).alias("cwd"),
+        g(7).alias("executable"),
+        g(8).alias("command"),
     )
     payload = F.when(ok, payload).otherwise(F.lit(None).cast(SNOOPY_PAYLOAD))
     return payload, F.when(ok, F.lit("snoopy")), ok
 
 
-INTERMEDIATE_COLS = ["_sn_ok"] + [f"_sn_g{i}" for i in range(1, 9)]
+INTERMEDIATE_COLS = ["_sn_a", "_sn_ok"]

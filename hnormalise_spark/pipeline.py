@@ -43,7 +43,7 @@ FAMILIES = [
 ]
 
 _ALL_INTERMEDIATES = (
-    ["_line", "_env_ok", "_family"]
+    ["_line", "_env_ok", "_env_a", "_family"]
     + torque.INTERMEDIATE_COLS
     + lmod.INTERMEDIATE_COLS
     + shorewall.INTERMEDIATE_COLS
@@ -66,14 +66,98 @@ def normalise(df: DataFrame, line_col: str = "raw") -> DataFrame:
     envelope fields, one nullable payload struct per family, and the
     ``appname/parser/jsonkey/parse_ok`` routing columns.
     """
+    return _payload_stage(_envelope_stage(df, line_col))
+
+
+# rsyslog %jsonmesg% object (Rsyslog FromJSON, Json.hs:51-74; record
+# Internal.hs:81-103). Hyphenated JSON keys are aliased to the
+# underscore column names the rest of the pipeline uses.
+RSYSLOG_JSON_DDL = (
+    "msg string, timereported string, hostname string, syslogtag string, "
+    "inputname string, fromhost string, `fromhost-ip` string, pri int, "
+    "version int, syslogfacility string, syslogseverity string, "
+    "timegenerated string, programname string, `protocol-version` string, "
+    "`app-name` string, procid string"
+)
+
+# non-Maybe Rsyslog fields: absence fails the aeson decode → Original
+_JSON_REQUIRED = [
+    "msg", "timereported_raw", "hostname", "syslogtag", "inputname",
+    "fromhost", "fromhost_ip", "syslogfacility", "syslogseverity",
+    "programname", "protocol_version", "appname_in", "procid",
+]
+
+
+def normalise_json(df: DataFrame, line_col: str = "raw") -> DataFrame:
+    """JSON-mode input (normaliseJsonInput, HNormalise.hs:78-84): each
+    row is an rsyslog %jsonmesg% object; the envelope comes from JSON
+    fields and only the ``msg`` member goes through the payload parse.
+    Bad JSON, missing mandatory members, or an unparseable msg all
+    route to failure with the original bytes untouched."""
+    df = df.withColumn("_line", F.regexp_replace(F.col(line_col), r"[\r\n]+$", ""))
+    j = F.from_json(F.col("_line"), RSYSLOG_JSON_DDL)
+    df = df.withColumns(
+        {
+            "pri": j["pri"],
+            "version": j["version"],
+            "timereported_raw": j["timereported"],
+            "hostname": j["hostname"],
+            "syslogtag": j["syslogtag"],
+            "inputname": j["inputname"],
+            "fromhost": j["fromhost"],
+            "fromhost_ip": j["fromhost-ip"],
+            "syslogfacility": j["syslogfacility"],
+            "syslogseverity": j["syslogseverity"],
+            "timegenerated": j["timegenerated"],
+            "programname": j["programname"],
+            "protocol_version": j["protocol-version"],
+            "appname_in": j["app-name"],
+            "procid": j["procid"],
+            "msg": j["msg"],
+        }
+    )
+    ts = F.when(
+        F.col("timereported_raw").rlike(RE_RFC3339),
+        F.col("timereported_raw").cast("timestamp"),
+    )
+    env_ok = ts.isNotNull()
+    for c in _JSON_REQUIRED:
+        env_ok = env_ok & F.col(c).isNotNull()
+    df = df.withColumns(
+        {
+            "timereported": ts,
+            "_env_ok": env_ok,
+            "_family": _family_col(F.col("msg")),
+        }
+    )
+    # Failure keeps only the original bytes (Normalised = Original).
+    env_fields = [
+        "pri", "version", "timereported", "timereported_raw", "hostname",
+        "syslogtag", "msg", "inputname", "fromhost", "fromhost_ip",
+        "syslogfacility", "syslogseverity", "timegenerated", "programname",
+        "protocol_version", "appname_in", "procid",
+    ]
+    df = df.withColumns({c: F.when(F.col("_env_ok"), F.col(c)) for c in env_fields})
+    return _payload_stage(df)
+
+
+def _envelope_stage(df: DataFrame, line_col: str) -> DataFrame:
+    from hnormalise_spark.parsing.common import packed_groups, packed_ok
+
     # Trailing newline tolerance (the reference's line framing strips
     # it; parsers also tolerate it as unconsumed input, HNormalise.hs:94).
     df = df.withColumn("_line", F.regexp_replace(F.col(line_col), r"[\r\n]+$", ""))
     line = F.col("_line")
 
     # --- envelope (parseRsyslogLogstashString, Parser.hs:94-131) ------
+    # ONE regex execution for all six groups (packed extraction). On a
+    # non-matching line element_at yields the raw line, so every use is
+    # gated on the packed arity (also keeps ANSI casts off junk).
+    df = df.withColumn("_env_a", packed_groups(line, RE_ENVELOPE, 6))
+    pok = packed_ok(F.col("_env_a"), 6)
+
     def g(i: int) -> Column:
-        return F.regexp_extract(line, RE_ENVELOPE, i)
+        return F.when(pok, F.element_at(F.col("_env_a"), i))
 
     def opt_int(c: Column) -> Column:
         return F.when(c != "", c.cast("int"))
@@ -86,7 +170,7 @@ def normalise(df: DataFrame, line_col: str = "raw") -> DataFrame:
             "hostname": g(4),
             "syslogtag": g(5),
             "msg": g(6),
-            "_env_ok": line.rlike(RE_ENVELOPE),
+            "_env_ok": pok,
         }
     )
     ts = F.when(
@@ -102,10 +186,12 @@ def normalise(df: DataFrame, line_col: str = "raw") -> DataFrame:
     )
     # Blank envelope fields on envelope failure.
     env_fields = ["pri", "version", "timereported", "timereported_raw", "hostname", "syslogtag", "msg"]
-    df = df.withColumns(
+    return df.withColumns(
         {c: F.when(F.col("_env_ok"), F.col(c)) for c in env_fields}
     )
 
+
+def _payload_stage(df: DataFrame) -> DataFrame:
     # --- per-family layered parse -------------------------------------
     msg = F.col("msg")
     for fam_name, mod, _, _ in FAMILIES:

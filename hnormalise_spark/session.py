@@ -34,6 +34,19 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
+        # The parse plan is ~25 stacked Projects of large shared
+        # expression DAGs. Substituting those into filter predicates
+        # (predicate pushdown) unfolds the DAG into an exponentially
+        # large tree — optimizer traversals and plan stringification
+        # then take minutes (observed: a limit(5) spending 300s in
+        # BinaryOperator.toString). Filters written directly against
+        # source relations are unaffected (file-source pushdown is a
+        # planning-time rule, not PushDownPredicates), so excluding the
+        # move-filters-down rule costs nothing for this workload.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates",
+        # Same DAG-unfolding pathology via constraint inference.
+        "spark.sql.constraintPropagation.enabled": "false",
         # AQE: runtime shuffle coalescing + skew-join splitting.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -59,14 +59,22 @@ def with_observed_metrics(parsed: DataFrame, name: str = "hnormalise_metrics") -
     )
 
 
-def write_staging(parsed: DataFrame, path: str, json_line: bool = False) -> None:
-    """One-pass write of the parsed result, partitioned by parse_ok so
-    the success/failure scans are partition-pruned (not even a filter)."""
+def write_staging(parsed: DataFrame, path: str, json_line: bool = False, lean: bool = True) -> None:
+    """One-pass write of the parsed result, partitioned by route so the
+    success/failure scans are partition-pruned (not even a filter).
+
+    ``lean`` keeps the original bytes (tokens/raw) only on FAILURE rows
+    — the success contract never includes them, and at 10^12-row scale
+    they are the bulk of the write volume (~90% of rows parse)."""
     out = with_lineage(parsed) if "lineage_partition" not in parsed.columns else parsed
     if json_line:
         out = out.withColumn(
             "json", F.when(F.col("parse_ok"), jsonout.encode_normalised())
         )
+    if lean:
+        for c in ("tokens", "raw", "n_tok"):
+            if c in out.columns:
+                out = out.withColumn(c, F.when(~F.col("parse_ok"), F.col(c)))
     # Partition directories by route so the sink scans are pruned; keep
     # parse_ok itself as a data column (partition values read back as
     # strings otherwise).
@@ -106,22 +114,31 @@ def run_batch(
     parsed: DataFrame,
     out_dir: str,
     json_line: bool = True,
+    export_sinks: bool = False,
 ) -> dict[str, str]:
-    """Full staged fan-out: staging → success + failure + counts.
+    """Staged fan-out: ONE parse pass writes the route-partitioned
+    staging table; the success/failure sinks ARE its partitions
+    (``staging/route=success|failure``) — no second write of the bulk
+    data — and counts is a column-pruned aggregate scan of staging.
 
-    Returns the table paths. Each step is idempotent (mode=overwrite),
-    so a crashed run resumes by re-invoking: finished sinks rewrite
-    cheaply from staging without re-parsing.
+    Each step is idempotent (mode=overwrite), so a crashed run resumes
+    by re-invoking: a finished staging write skips straight to counts.
+    Set ``export_sinks`` to additionally materialize standalone
+    success/failure tables (distinct locations/retention), paid as an
+    extra read+write of staging.
     """
     paths = {
         "staging": os.path.join(out_dir, "staging"),
-        "success": os.path.join(out_dir, "success"),
-        "failure": os.path.join(out_dir, "failure"),
+        "success": os.path.join(out_dir, "staging", "route=success"),
+        "failure": os.path.join(out_dir, "staging", "route=failure"),
         "counts": os.path.join(out_dir, "counts"),
     }
     write_staging(parsed, paths["staging"], json_line=json_line)
     staging = spark.read.parquet(paths["staging"])
-    write_success(staging, paths["success"], json_line=json_line)
-    write_failure(staging, paths["failure"])
     write_counts(staging, paths["counts"])
+    if export_sinks:
+        paths["success"] = os.path.join(out_dir, "success")
+        paths["failure"] = os.path.join(out_dir, "failure")
+        write_success(staging, paths["success"], json_line=json_line)
+        write_failure(staging, paths["failure"])
     return paths
