@@ -58,6 +58,17 @@ def main() -> int:
 
     from hnormalise_spark import sinks
 
+    # warm-up: run the identical plan over a small slice so one-time
+    # codegen/janino/JIT compilation is excluded from the measured
+    # window (it is a constant, not a per-line cost, and would skew the
+    # N-vs-4N scaling ratio)
+    warm_dir = f"/tmp/hnorm_bench_warm_{cpus}"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    sinks.run_batch(
+        spark, normalise_tokens(spark.read.parquet(corpus).limit(20000)),
+        warm_dir, json_line=True,
+    )
+
     out_dir = f"/tmp/hnorm_bench_out_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()

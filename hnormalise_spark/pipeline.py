@@ -231,26 +231,60 @@ def _payload_stage(df: DataFrame) -> DataFrame:
     return df.drop(*_ALL_INTERMEDIATES, "_parser_raw", "_appname_raw")
 
 
-def normalise_tokens(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+def normalise_tokens(
+    df: DataFrame, tokens_col: str = "tokens", carry_tokens: bool = False
+) -> DataFrame:
     """Normalise a pre-tokenized input table (BASELINE.json input_hint).
 
     Detokenization is a JVM expression (codepoint → char), so the whole
-    parse stays in one codegen stage.
+    parse stays in one codegen stage. By default the token array is
+    DROPPED after detokenization — carrying it through the parse plan
+    costs ~40% of throughput — and the failure sink reconstructs it
+    bit-exactly from ``raw`` (tokenizer.retokenize_col; the codec is an
+    exact inverse for the ASCII corpus). Pass ``carry_tokens=True`` to
+    keep the original array on every row (e.g. non-ASCII codepoints,
+    where the JVM detokenizer is not applicable anyway).
     """
-    return normalise(df.withColumn("raw", detokenize_col(tokens_col)), "raw")
+    out = df.withColumn("raw", detokenize_col(tokens_col))
+    if not carry_tokens:
+        out = out.drop(tokens_col)
+    return normalise(out, "raw")
 
 
 # ---------------------------------------------------------------------------
 # Routing (the success/failure fan-out, Util.hs:74-90)
+#
+# CAUTION: filtering the parsed frame directly makes Spark's
+# PushPredicateThroughNonJoin (run unconditionally in the
+# "Extract Python UDFs" optimizer batch — it ignores
+# spark.sql.optimizer.excludedRules) substitute the parse expression
+# DAG into the predicate, unfolding it exponentially (~10^6 nodes; the
+# codegen string alone OOMs). route() therefore persists the parsed
+# frame first — an InMemoryRelation is a pushdown barrier, and the two
+# routed filters share the one cached parse, which is what the fan-out
+# wants anyway. sinks.run_batch achieves the same via the staging
+# parquet write.
+
+
+def route(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(success, failure) sharing ONE cached parse pass. Call
+    ``success.unpersist()`` when done (either handle works)."""
+    from pyspark import StorageLevel
+
+    cached = parsed.persist(StorageLevel.MEMORY_AND_DISK)
+    return cached.filter(F.col("parse_ok")), cached.filter(~F.col("parse_ok"))
 
 
 def route_success(parsed: DataFrame) -> DataFrame:
+    """Prefer route()/run_batch: a direct filter on an un-persisted
+    parsed frame triggers the pushdown blowup described above."""
     return parsed.filter(F.col("parse_ok"))
 
 
 def route_failure(parsed: DataFrame, original_cols: list[str] | None = None) -> DataFrame:
     """Failure sink carries the *original* bytes/tokens untouched
-    (Normalised = Original, HNormalise.hs:69-73)."""
+    (Normalised = Original, HNormalise.hs:69-73). Same caveat as
+    route_success — prefer route()/run_batch."""
     failed = parsed.filter(~F.col("parse_ok"))
     if original_cols:
         failed = failed.select(*original_cols)

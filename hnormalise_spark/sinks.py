@@ -75,6 +75,15 @@ def write_staging(parsed: DataFrame, path: str, json_line: bool = False, lean: b
         for c in ("tokens", "raw", "n_tok"):
             if c in out.columns:
                 out = out.withColumn(c, F.when(~F.col("parse_ok"), F.col(c)))
+    if "tokens" not in out.columns and "raw" in out.columns:
+        # token-path parse dropped the array for speed; reconstruct the
+        # original bit-exactly for the failure contract (ASCII codec is
+        # an exact inverse)
+        from hnormalise_spark.tokenizer import retokenize_col
+
+        out = out.withColumn(
+            "tokens", F.when(~F.col("parse_ok"), retokenize_col("raw"))
+        )
     # Partition directories by route so the sink scans are pruned; keep
     # parse_ok itself as a data column (partition values read back as
     # strings otherwise).

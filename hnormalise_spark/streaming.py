@@ -65,10 +65,14 @@ def start_pipeline(
                 .write.mode("overwrite")
                 .parquet(os.path.join(success_path, f"batch_id={batch_id}"))
             )
-            orig = [c for c in ("doc_id", "source", "tokens", "n_tok", "raw") if c in batch.columns]
+            failed = batch.filter(~F.col("parse_ok"))
+            if "tokens" not in batch.columns and "raw" in batch.columns:
+                from hnormalise_spark.tokenizer import retokenize_col
+
+                failed = failed.withColumn("tokens", retokenize_col("raw"))
+            orig = [c for c in ("doc_id", "source", "tokens", "n_tok", "raw") if c in failed.columns]
             (
-                batch.filter(~F.col("parse_ok"))
-                .select(*orig)
+                failed.select(*orig)
                 .write.mode("overwrite")
                 .parquet(os.path.join(failure_path, f"batch_id={batch_id}"))
             )

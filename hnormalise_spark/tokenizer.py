@@ -44,6 +44,23 @@ def _char(t: Column) -> Column:
         return F.call_function("char", t)
 
 
+def retokenize_col(raw: Column | str) -> Column:
+    """JVM-side exact inverse of detokenize_col for codepoints < 256:
+    raw text → codepoint array. Lets the pipeline DROP the bulky token
+    array right after detokenization (carrying a 200-int array through
+    ~24 projects costs ~40% of parse throughput) and reconstruct it
+    bit-exactly for the failure sink's original-bytes contract."""
+    col = F.col(raw) if isinstance(raw, str) else raw
+    # sequence(1, 0) would DESCEND for empty input — guard to []
+    toks = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.ascii(col.substr(i, F.lit(1))),
+    ).cast("array<int>")
+    return F.when(F.length(col) > 0, toks).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 @F.pandas_udf(StringType())
 def detokenize_pandas(tokens: pd.Series) -> pd.Series:
     """Full-Unicode detokenizer (Arrow-batched)."""
