@@ -616,6 +616,53 @@ def _oracle_json_snoopy() -> str:
 # snoopy pid in q_json: pid printed as %d of k (not k%65536) — keep k small via events ids.
 
 
+def q_json_fields_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """J1/P7: config-driven output-field projection (fields config,
+    Json.hs:82-96) — payload member first, then the configured
+    (out_key <- envelope field) pairs, unknown fields rendered null,
+    inputname-class fields rendered ''."""
+    from hnormalise_spark import jsonout
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("event_id").cast("long").alias("k")
+    )
+    k = F.col("k")
+    msg = F.format_string(
+        "snoopy[%d]::  [uid:%d sid:%d tty:(none) cwd:/x filename:/bin/p%d]: p%d go",
+        k % 9999, k % 500, k % 333, k % 7, k % 7,
+    )
+    parsed = _norm(ev, _env(msg, k), F.format_string("fp-%d", k))
+    fields = [
+        ("message", "msg"),
+        ("host", "hostname"),
+        ("level", "pri"),
+        ("input", "inputname"),     # logstash path leaves it '' (Json.hs:95)
+        ("mystery", "no_such_field"),  # unknown -> null
+    ]
+    return parsed.select(
+        "doc_id", jsonout.encode_normalised(fields).alias("json")
+    )
+
+
+def _oracle_json_fields() -> str:
+    return """
+    SELECT 'fp-' || event_id AS doc_id,
+           '{"snoopy":{"pid":' || (event_id % 9999)
+           || ',"uid":' || (event_id % 500)
+           || ',"username":null,"sid":' || (event_id % 333)
+           || ',"tty":"(none)","cwd":"/x","executable":"/bin/p' || (event_id % 7)
+           || '","command":"p' || (event_id % 7) || ' go"}'
+           || ',"message":"snoopy[' || (event_id % 9999) || ']::  [uid:' || (event_id % 500)
+           || ' sid:' || (event_id % 333) || ' tty:(none) cwd:/x filename:/bin/p' || (event_id % 7)
+           || ']: p' || (event_id % 7) || ' go"'
+           || ',"host":"' || printf('node%04d.c%d.example.org', event_id % 500, (event_id % 500) % 7) || '"'
+           || ',"level":' || (event_id % 190 + 1)
+           || ',"input":""'
+           || ',"mystery":null}' AS json
+    FROM events
+    """
+
+
 def q_json_input(spark: SparkSession, sf: str) -> DataFrame:
     """P4: rsyslog %jsonmesg% JSON-mode input (normaliseJsonInput) —
     from_json envelope, msg-only payload parse; malformed JSON and
@@ -701,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_broadcast": q_enrich_broadcast,
         "json_encode_snoopy": q_json_encode_snoopy,
         "json_input": q_json_input,
+        "json_fields_projection": q_json_fields_projection,
     }
 
 
@@ -721,4 +769,5 @@ def oracle_sql() -> dict[str, str]:
         "enrich_broadcast": _oracle_enrich(),
         "json_encode_snoopy": _oracle_json_snoopy(),
         "json_input": _oracle_json_input(),
+        "json_fields_projection": _oracle_json_fields(),
     }

@@ -20,8 +20,10 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="hnormalise-spark pipeline")
+    ap.add_argument("--config", help="user config file (YAML/JSON, monoid-merged over --system-config then defaults)")
+    ap.add_argument("--system-config", help="system config file")
     ap.add_argument("--input", help="input parquet dir (doc_id,tokens,n_tok,source)")
-    ap.add_argument("--output", required=True, help="output dir for sinks")
+    ap.add_argument("--output", help="output dir for sinks")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic rows to --output")
     ap.add_argument("--master", default=None)
@@ -31,8 +33,19 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     from hnormalise_spark import get_spark
+    from hnormalise_spark.config import load_config
     from hnormalise_spark.pipeline import normalise_tokens
     from hnormalise_spark import sinks, datagen, enrich, streaming
+
+    # CLI flags override the merged config chain (user ⊕ system ⊕ defaults)
+    cfg = load_config(args.config, args.system_config)
+    args.input = args.input or cfg.input.path
+    args.output = args.output or cfg.sink.out_dir
+    args.streaming = args.streaming or cfg.run.streaming
+    args.repartition = args.repartition or cfg.run.repartition
+    args.enrich = args.enrich or cfg.run.enrich
+    if not args.output:
+        ap.error("--output (or sink.out_dir in config) required")
 
     spark = get_spark(master=args.master, app_name="hnormalise-run")
     t0 = time.time()
