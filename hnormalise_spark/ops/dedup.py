@@ -120,20 +120,45 @@ def minhash_lsh_dedup(
     base = df.select(
         F.col(id_col).alias("_id"),
         char_shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), k))
-    banded = base.select(
-        "_id", "_sh", F.explode(band_keys(F.col("_sig"), bands, rows)).alias("_band")
     )
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band")
-    pairs = (
+    # Stage 1 — candidate generation on (id, band) ONLY. The shingle
+    # arrays must NOT ride through the band explode / self-join: at
+    # scale they dominate the shuffle (each doc's set would be copied
+    # `bands` times and again for every bucket partner).
+    banded = base.select(
+        "_id",
+        F.explode(
+            band_keys(minhash_signature(F.col("_sh"), k), bands, rows)
+        ).alias("_band"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "_band")
+    b = banded.select(F.col("_id").alias("id_b"), "_band")
+    cand = (
         a.join(b, "_band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .select("id_a", "id_b")
         .distinct()
+    )
+    # Stage 2 — verify: re-attach shingles to the (small) candidate-id
+    # set and equi-join the pairs. The semi-join keeps the shingle-
+    # carrying side down to candidate docs only; with a small candidate
+    # set AQE turns these into broadcast joins.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    docs = base.join(cand_ids, "_id")
+    return (
+        cand.join(
+            docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        )
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -152,21 +177,39 @@ def shingle_hashes(text: Column, n: int = 4) -> Column:
     )
 
 
+def _bit_masks() -> Column:
+    return F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+
+
 def simhash_from_hashes(hashes: Column) -> Column:
     """60-bit SimHash: bit j of the sketch is the majority vote of bit j
-    across the shingle hashes, weighted ±1."""
-    def vote(j: int) -> Column:
-        mask = F.lit(1 << j)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
+    across the shingle hashes, weighted ±1.
 
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        out = out + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    ONE pass over the hash array: the fold accumulates an array of 60
+    signed counters (zip_with against a per-element ±1 bit vector), and
+    a final fold turns positive counters into set bits. The per-bit
+    formulation (60 separate aggregate() walks) was 60 re-traversals of
+    the array per row — HOFs evaluate interpreted, so that multiplier
+    was all wall-clock."""
+    masks = _bit_masks()
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, v: F.zip_with(
+            masks,
+            acc,
+            lambda m, c: c + F.when(v.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def simhash64(text: Column, n: int = 4) -> Column:
@@ -208,12 +251,25 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df_a: DataFrame, df_b: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Jaccard over word n-grams for explicitly joined pairs (the
-    verify step of a candidate generator; not an all-pairs operator)."""
-    a = df_a.select(F.col(id_col).alias("id_a"), word_ngrams(F.col(text_col), n).alias("g_a"))
-    b = df_b.select(F.col(id_col).alias("id_b"), word_ngrams(F.col(text_col), n).alias("g_b"))
-    return a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard")
+    """Jaccard over word n-grams for an explicit candidate-pair set:
+    ``candidate_pairs`` is a DataFrame of (id_a, id_b). Two equi hash
+    joins attach the gram sets — never a cross product. (An earlier
+    signature joined two doc frames on ``id_a < id_b``, which Spark can
+    only plan as a nested-loop/cartesian join; all-pairs verification
+    is exactly what LSH candidate generation exists to avoid — use
+    ``minhash_lsh_dedup`` when no candidate set is available.)"""
+    g = docs.select(
+        F.col(id_col).alias("_id"), word_ngrams(F.col(text_col), n).alias("_g")
+    )
+    return (
+        candidate_pairs.select("id_a", "id_b")
+        .join(g.select(F.col("_id").alias("id_a"), F.col("_g").alias("g_a")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b")), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
     )

@@ -80,21 +80,50 @@ def nullif_empty(c: Column) -> Column:
 # regexp_replace and splitting on \x01 costs exactly ONE match per row,
 # and match success is detected from the split arity (a non-matching
 # regexp_replace returns its input unchanged, which contains no \x01).
+#
+# Arity alone is spoofable: an input that itself contains \x01 bytes can
+# fake the match arity (routing garbage into ANSI casts) or, the other
+# way, push a genuinely matching line past the expected arity (wrongly
+# failing it). SEP-containing sources therefore NEVER take the packed
+# path: they either go through an exact rlike + per-group
+# regexp_extract fallback (``fallback=True``, default) or yield null so
+# the caller's own slow path handles them (``fallback=False`` — the
+# torque mega-regex, whose rows fall back to the order-insensitive KV
+# parse with identical semantics).
 
 SEP = "\x01"
 
 
-def packed_groups(s: Column, pattern: str, n_groups: int) -> Column:
+def packed_groups(
+    s: Column, pattern: str, n_groups: int, fallback: bool = True
+) -> Column:
     """ONE regex execution extracting all capture groups of an
     anchored-whole-string `pattern`: array<string> of size `n_groups`
-    on match; a smaller (typically 1-element) array on mismatch —
-    callers gate on ``packed_ok``. Non-participating groups yield ''."""
+    on match, null on mismatch — callers gate on ``packed_ok``.
+    Non-participating groups yield ''. Exact for every input: sources
+    containing the packing byte take a per-group regexp_extract
+    fallback (or fail cleanly with ``fallback=False``)."""
     repl = SEP.join(f"${i}" for i in range(1, n_groups + 1))
-    return F.split(F.regexp_replace(s, pattern, repl), SEP, -1)
+    # NOTE: `packed` must appear exactly ONCE in the returned tree — a
+    # size-gate like when(size(packed)==n, packed) duplicates the
+    # regexp_replace inside a conditional, where codegen subexpression
+    # elimination cannot share it, doubling the (dominant) regex cost.
+    # On mismatch the split returns a 1-element array; packed_ok's
+    # arity check rejects it, and the SEP guard here makes that arity
+    # check unspoofable.
+    packed = F.split(F.regexp_replace(s, pattern, repl), SEP, -1)
+    if not fallback:
+        return F.when(~s.contains(SEP), packed)
+    fb = F.when(
+        s.rlike(pattern),
+        F.array(*[F.regexp_extract(s, pattern, i) for i in range(1, n_groups + 1)]),
+    )
+    return F.when(s.contains(SEP), fb).otherwise(packed)
 
 
 def packed_ok(arr: Column, n_groups: int) -> Column:
-    return F.size(arr) == n_groups
+    """True iff `arr` is a genuine match result (never null)."""
+    return F.coalesce(F.size(arr) == n_groups, F.lit(False))
 
 
 # ---------------------------------------------------------------------------

@@ -369,11 +369,15 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
     hdr_ok = F.col("_tq_hdr_ok")
     # fast path: one regex execution per accounting row
     layer3 = {
+        # fallback=False: a (vanishingly rare) SEP-containing body just
+        # misses the fast path and parses via the KV slow path below.
         "_tq_aE": F.when(
-            hdr_ok & (tag_c == "E"), C.packed_groups(body, _MEGA_E.pattern(), _MEGA_E.n_groups)
+            hdr_ok & (tag_c == "E"),
+            C.packed_groups(body, _MEGA_E.pattern(), _MEGA_E.n_groups, fallback=False),
         ),
         "_tq_aS": F.when(
-            hdr_ok & (tag_c == "S"), C.packed_groups(body, _MEGA_S.pattern(), _MEGA_S.n_groups)
+            hdr_ok & (tag_c == "S"),
+            C.packed_groups(body, _MEGA_S.pattern(), _MEGA_S.n_groups, fallback=False),
         ),
         "_tq_name": C.job_name_struct(F.col("_tq_name_raw")),
     }
@@ -387,11 +391,25 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
         "_tq_kv": F.when(is_acc & ~(fast_e | fast_s), C.kv_map(body)),
     }
 
-    # raw field values, one struct, either source
+    # raw field values: the three gated source structs are built in one
+    # layer and merged (coalesce — the gates are disjoint) in the next,
+    # with a codegen-region split between (LAYER_BARRIERS): the three
+    # builders fused into one Project exceed Janino's 64 KB method cap.
     layer5 = {
-        "_tq_v": F.when(F.coalesce(fast_e, F.lit(False)), _fast_struct(_MEGA_E, F.col("_tq_aE")))
-        .when(F.coalesce(fast_s, F.lit(False)), _fast_struct(_MEGA_S, F.col("_tq_aS")))
-        .when(F.col("_tq_is_acc"), _kv_struct(_kv())),
+        "_tq_vE": F.when(
+            F.coalesce(fast_e, F.lit(False)), _fast_struct(_MEGA_E, F.col("_tq_aE"))
+        ),
+        "_tq_vS": F.when(
+            F.coalesce(fast_s, F.lit(False)), _fast_struct(_MEGA_S, F.col("_tq_aS"))
+        ),
+    }
+    layer5b = {
+        "_tq_vKV": F.when(
+            F.col("_tq_is_acc") & ~F.col("_tq_fast"), _kv_struct(_kv())
+        ),
+    }
+    layer5c = {
+        "_tq_v": F.coalesce(F.col("_tq_vE"), F.col("_tq_vS"), F.col("_tq_vKV")),
     }
 
     e_ok_slow = (
@@ -442,7 +460,11 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
         ),
         "_tq_nhosts": F.when(acc_ok, F.size(F.col("_tq_exec")).cast("long")),
     }
-    return [layer1, layer2, layer3, layer4, layer5, layer6, layer7, layer8]
+    return [
+        layer1, layer2, layer3, layer4,
+        layer5, layer5b, layer5c,
+        layer6, layer7, layer8,
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -557,6 +579,15 @@ def result() -> tuple[Column, Column, Column]:
 INTERMEDIATE_COLS = [
     "_tq_parts", "_tq_hdr_ok", "_tq_datestamp", "_tq_tag", "_tq_name_raw",
     "_tq_body", "_tq_aE", "_tq_aS", "_tq_name", "_tq_fast", "_tq_is_acc",
-    "_tq_kv", "_tq_v", "_tq_ok", "_tq_exec", "_tq_nodes", "_tq_neednodes",
+    "_tq_kv", "_tq_vE", "_tq_vS", "_tq_vKV", "_tq_v", "_tq_ok",
+    "_tq_exec", "_tq_nodes", "_tq_neednodes",
     "_tq_slots_default", "_tq_nhosts",
 ]
+
+# Codegen-region split points (after-layer indices, 0 = before layer 1;
+# see pipeline.codegen_barrier): the envelope+lmod+shorewall+snoopy
+# region (~33 KB), the mega packed extraction (layers 1-3, ~23 KB), the
+# fast-path struct builders (layers 4-5), and the KV struct builder
+# (layer 6) each stay under Janino's 64 KB method limit on their own;
+# fused together they blow it and drop the whole stage to interpreted.
+LAYER_BARRIERS = {0, 3, 5}

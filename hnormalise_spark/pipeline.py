@@ -50,6 +50,29 @@ _ALL_INTERMEDIATES = (
     + snoopy.INTERMEDIATE_COLS
 )
 
+# A no-op narrow dependency: CoalesceExec does not implement
+# CodegenSupport, so it ends the current whole-stage-codegen region
+# without shuffling or changing partitioning (coalesce never *raises*
+# the partition count, so 2^30 keeps it unchanged). Without these
+# boundaries the ~25 fused parse Projects generate ONE processNext()
+# whose locals-passing style Janino cannot split into sub-methods; the
+# method blows the JVM's 64 KB bytecode limit ("Code grows beyond
+# 64 KB") and Spark silently drops the ENTIRE stage to interpreted
+# execution. Splitting into per-family regions keeps every region
+# compiled; a boundary costs one UnsafeRow materialization per row —
+# the interpreted fallback paid that at every Project boundary.
+_CODEGEN_BARRIER_PARTS = 1 << 30
+
+
+def codegen_barrier(df: DataFrame) -> DataFrame:
+    # Streaming plans re-plan per micro-batch and the huge-coalesce
+    # no-op stalls the incremental planner; the production default runs
+    # whole-stage codegen off (session.py), so streaming needs no
+    # region splitting anyway.
+    if df.isStreaming:
+        return df
+    return df.coalesce(_CODEGEN_BARRIER_PARTS)
+
 
 def _family_col(msg: Column) -> Column:
     out = None
@@ -87,6 +110,12 @@ _JSON_REQUIRED = [
     "programname", "protocol_version", "appname_in", "procid",
 ]
 
+# Maybe-typed fields decoded with (.:) — aeson still requires the KEY
+# to exist; only an explicit null maps to Nothing (Json.hs:63-66). The
+# from_json value can't distinguish the two, so presence is checked on
+# the top-level key set.
+_JSON_REQUIRED_KEYS = ["pri", "version", "timegenerated"]
+
 
 def normalise_json(df: DataFrame, line_col: str = "raw") -> DataFrame:
     """JSON-mode input (normaliseJsonInput, HNormalise.hs:78-84): each
@@ -123,6 +152,9 @@ def normalise_json(df: DataFrame, line_col: str = "raw") -> DataFrame:
     env_ok = ts.isNotNull()
     for c in _JSON_REQUIRED:
         env_ok = env_ok & F.col(c).isNotNull()
+    keys = F.json_object_keys(F.col("_line"))
+    for k in _JSON_REQUIRED_KEYS:
+        env_ok = env_ok & F.coalesce(F.array_contains(keys, k), F.lit(False))
     df = df.withColumns(
         {
             "timereported": ts,
@@ -160,7 +192,9 @@ def _envelope_stage(df: DataFrame, line_col: str) -> DataFrame:
         return F.when(pok, F.element_at(F.col("_env_a"), i))
 
     def opt_int(c: Column) -> Column:
-        return F.when(c != "", c.cast("int"))
+        # try_cast: defense-in-depth under ANSI mode — the groups are
+        # \d+ by construction, but a cast abort would kill the batch.
+        return F.when(c != "", c.try_cast("int"))
 
     df = df.withColumns(
         {
@@ -193,11 +227,21 @@ def _envelope_stage(df: DataFrame, line_col: str) -> DataFrame:
 
 def _payload_stage(df: DataFrame) -> DataFrame:
     # --- per-family layered parse -------------------------------------
+    # one codegen region per family (see codegen_barrier)
     msg = F.col("msg")
     for fam_name, mod, _, _ in FAMILIES:
         gate = F.col("_family") == fam_name
-        for layer in mod.layers(gate, msg):
+        # LAYER_BARRIERS: after-layer indices at which to end the
+        # current codegen region (0 = before the family's first layer).
+        # Only torque needs them — the other families' regions are
+        # 5-15 KB of bytecode and fuse together comfortably.
+        barriers = getattr(mod, "LAYER_BARRIERS", ())
+        if 0 in barriers:
+            df = codegen_barrier(df)
+        for idx, layer in enumerate(mod.layers(gate, msg), 1):
             df = df.withColumns(layer)
+            if idx in barriers:
+                df = codegen_barrier(df)
 
     payload_cols: dict[str, Column] = {}
     parser_col: Column = F.lit(None).cast("string")
@@ -211,9 +255,24 @@ def _payload_stage(df: DataFrame) -> DataFrame:
         ok_col = F.when(gate, ok).otherwise(ok_col)
         app_col = F.when(gate, F.lit(appname)).otherwise(app_col)
 
+    # parse_ok is deliberately made NONDETERMINISTIC (OR with an
+    # always-false spark_partition_id()<0, value unchanged): Catalyst
+    # never pushes a predicate through a Project with a
+    # nondeterministic field, so a filter on parse_ok (routing!) can no
+    # longer be substituted into the ~25-Project parse expression DAG.
+    # That substitution unfolds the shared DAG exponentially (observed:
+    # a 110 MB filter-condition string; a bare
+    # parsed.filter("parse_ok") hung for minutes) and the rule
+    # responsible, PushPredicateThroughNonJoin, is re-run by the
+    # "Extract Python UDFs" batch which IGNORES
+    # spark.sql.optimizer.excludedRules — a conf exclusion cannot stop
+    # it. rand()>2 does NOT work as the guard: the optimizer knows
+    # rand's [0,1) bounds and folds it away. One int compare per row is
+    # the entire cost.
+    nd_false = F.spark_partition_id() < F.lit(0)
     df = df.withColumns(
         {
-            "parse_ok": F.col("_env_ok") & F.coalesce(ok_col, F.lit(False)),
+            "parse_ok": (F.col("_env_ok") & F.coalesce(ok_col, F.lit(False))) | nd_false,
             "_parser_raw": parser_col,
             "_appname_raw": app_col,
             **payload_cols,
@@ -289,6 +348,28 @@ def route_failure(parsed: DataFrame, original_cols: list[str] | None = None) -> 
     if original_cols:
         failed = failed.select(*original_cols)
     return failed
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    keys: tuple[str, ...] = ("source",),
+    salt: int = 16,
+) -> DataFrame:
+    """Repartition on (keys…, random salt) — the skew-safe shuffle the
+    north rule names ("salted keys for skewed sources").
+
+    A plain ``repartition(n, source)`` puts every row of a hot source
+    into ONE of the n partitions; appending a uniform salt in [0, salt)
+    splits each key across up to ``salt`` partitions while still
+    co-locating rows at salt-bucket granularity. With ``salt >= n`` the
+    spread of a single dominant key approaches round-robin while cold
+    keys stay clustered. The salt column is dropped before return.
+    """
+    present = [k for k in keys if k in df.columns]
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    out = salted.repartition(num_partitions, *[F.col(k) for k in present], F.col("_salt"))
+    return out.drop("_salt")
 
 
 def counts(parsed: DataFrame, keys: tuple[str, ...] = ("source", "parser", "parse_ok")) -> DataFrame:

@@ -24,26 +24,30 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--system-config", help="system config file")
     ap.add_argument("--input", help="input parquet dir (doc_id,tokens,n_tok,source)")
     ap.add_argument("--output", help="output dir for sinks")
-    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--streaming", action=argparse.BooleanOptionalAction, default=None)
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic rows to --output")
     ap.add_argument("--master", default=None)
-    ap.add_argument("--repartition", type=int, default=0, help="explicit repartition before parse")
-    ap.add_argument("--enrich", action="store_true", help="broadcast-join host/cluster/user metadata")
+    ap.add_argument("--repartition", type=int, default=None, help="explicit salted repartition before parse (0 disables)")
+    ap.add_argument("--salt", type=int, default=None, help="salt buckets per source key for skewed inputs (default 16)")
+    ap.add_argument("--enrich", action=argparse.BooleanOptionalAction, default=None, help="broadcast-join host/cluster/user metadata")
     ap.add_argument("--no-json", action="store_true", help="skip reference-shaped JSON line in success sink")
     args = ap.parse_args(argv)
 
     from hnormalise_spark import get_spark
     from hnormalise_spark.config import load_config
-    from hnormalise_spark.pipeline import normalise_tokens
+    from hnormalise_spark.pipeline import normalise_tokens, salted_repartition
     from hnormalise_spark import sinks, datagen, enrich, streaming
 
-    # CLI flags override the merged config chain (user ⊕ system ⊕ defaults)
+    # CLI flags override the merged config chain (user ⊕ system ⊕
+    # defaults). None means "not given on the CLI", so explicit falsy
+    # values (--repartition 0, --no-streaming, --no-enrich) still win.
     cfg = load_config(args.config, args.system_config)
-    args.input = args.input or cfg.input.path
-    args.output = args.output or cfg.sink.out_dir
-    args.streaming = args.streaming or cfg.run.streaming
-    args.repartition = args.repartition or cfg.run.repartition
-    args.enrich = args.enrich or cfg.run.enrich
+    args.input = args.input if args.input is not None else cfg.input.path
+    args.output = args.output if args.output is not None else cfg.sink.out_dir
+    args.streaming = args.streaming if args.streaming is not None else cfg.run.streaming
+    args.repartition = args.repartition if args.repartition is not None else cfg.run.repartition
+    args.salt = args.salt if args.salt is not None else 16
+    args.enrich = args.enrich if args.enrich is not None else cfg.run.enrich
     if not args.output:
         ap.error("--output (or sink.out_dir in config) required")
 
@@ -66,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
 
     df = spark.read.parquet(args.input)
     if args.repartition:
-        df = df.repartition(args.repartition)
+        df = salted_repartition(df, args.repartition, keys=("source",), salt=args.salt)
     parsed = sinks.with_lineage(normalise_tokens(df))
     if args.enrich:
         hm, cm, um = enrich.synth_lookup_tables(spark)

@@ -34,19 +34,18 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
-        # The parse plan is ~25 stacked Projects of large shared
-        # expression DAGs. Substituting those into filter predicates
-        # (predicate pushdown) unfolds the DAG into an exponentially
-        # large tree — optimizer traversals and plan stringification
-        # then take minutes (observed: a limit(5) spending 300s in
-        # BinaryOperator.toString). Filters written directly against
-        # source relations are unaffected (file-source pushdown is a
-        # planning-time rule, not PushDownPredicates), so excluding the
-        # move-filters-down rule costs nothing for this workload.
-        "spark.sql.optimizer.excludedRules":
-            "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates",
-        # Same DAG-unfolding pathology via constraint inference.
-        "spark.sql.constraintPropagation.enabled": "false",
+        # NOTE: earlier rounds excluded PushDownPredicates and disabled
+        # constraint propagation here to stop predicate pushdown from
+        # substituting the parse's ~25-Project shared expression DAG
+        # into filter conditions (exponential unfolding; a filter
+        # condition reached 110 MB of text). The root cause is now
+        # fixed structurally — pipeline._payload_stage makes parse_ok
+        # nondeterministic, which blocks pushdown through the parse for
+        # EVERY optimizer batch (including "Extract Python UDFs", which
+        # ignores excludedRules) — so full pushdown is re-enabled for
+        # everything else. Re-validated: filter/limit/collect on a
+        # parsed frame all run in seconds with these defaults.
+        #
         # AQE: runtime shuffle coalescing + skew-join splitting.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -58,6 +57,28 @@ def get_spark(
             if shuffle_partitions is not None
             else os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
         ),
+        # Whole-stage codegen LOSES on this workload, measured three
+        # ways on the 2M-line bench (local[32]):
+        #   * fused regions:       34-40k lines/s (and >64 KB regions
+        #     silently fall back to interpreted — BENCH_r01's Janino
+        #     stack trace)
+        #   * fused + JIT uncapped (-XX:-DontCompileHugeMethods): 22k
+        #     (C2 chokes on the huge methods)
+        #   * per-operator UnsafeProjection (this setting): 48k
+        # The parse is ~25 stacked wide Projects; fusing them yields
+        # one locals-passing processNext() Janino cannot split, and
+        # HotSpot refuses to JIT any method over 8 KB of bytecode, so
+        # fused regions run in the *bytecode interpreter*. Per-operator
+        # projection code splits into many <1 KB methods that all JIT.
+        # Query-leg timings are equal-or-better across the board too
+        # (torque_exit 29s vs 41s, walltime_memory 7s vs 17s at sf0.1).
+        "spark.sql.codegen.wholeStage": "false",
+        # If a deployment re-enables whole-stage codegen, the pipeline's
+        # codegen_barrier region splits keep every fused region under
+        # Janino's 64 KB method cap, and this lets the wide payload
+        # structs (~60 nested fields) stay inside codegen instead of
+        # being silently demoted (maxFields counts fields recursively).
+        "spark.sql.codegen.maxFields": "500",
         # Arrow for the pandas-UDF stages (tokenizer, golden encoder).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

@@ -118,12 +118,26 @@ def write_counts(staging: DataFrame, path: str) -> None:
     _counts(staging).write.mode("overwrite").parquet(path)
 
 
+def write_debug(parsed: DataFrame, path: str) -> None:
+    """S7 test/debug sink (mySink, Communication/File.hs:50-67): one
+    text line per row — ``success: <json>`` for parsed rows,
+    ``fail - original: <original line>`` for failures (the text writer
+    supplies the trailing newline the conduit yields explicitly)."""
+    original = F.col("raw") if "raw" in parsed.columns else F.col("msg")
+    line = F.when(
+        F.col("parse_ok"),
+        F.concat(F.lit("success: "), jsonout.encode_normalised()),
+    ).otherwise(F.concat(F.lit("fail - original: "), F.coalesce(original, F.lit(""))))
+    parsed.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
 def run_batch(
     spark: SparkSession,
     parsed: DataFrame,
     out_dir: str,
     json_line: bool = True,
     export_sinks: bool = False,
+    snapshot_id: str | None = None,
 ) -> dict[str, str]:
     """Staged fan-out: ONE parse pass writes the route-partitioned
     staging table; the success/failure sinks ARE its partitions
@@ -135,6 +149,13 @@ def run_batch(
     Set ``export_sinks`` to additionally materialize standalone
     success/failure tables (distinct locations/retention), paid as an
     extra read+write of staging.
+
+    ``snapshot_id`` turns the whole fan-out into one snapshot-committed
+    unit (table.py — Iceberg-style commit-then-visible): an id already
+    in the manifest returns immediately with no work (resume after
+    success); an id missing from the manifest re-runs everything and
+    commits last, so a crash anywhere before the commit re-runs on the
+    next invocation (resume after failure), overwriting partial output.
     """
     paths = {
         "staging": os.path.join(out_dir, "staging"),
@@ -142,12 +163,21 @@ def run_batch(
         "failure": os.path.join(out_dir, "staging", "route=failure"),
         "counts": os.path.join(out_dir, "counts"),
     }
+    if snapshot_id is not None:
+        from hnormalise_spark import table as T
+
+        if T.is_committed(out_dir, snapshot_id):
+            return paths
     write_staging(parsed, paths["staging"], json_line=json_line)
     staging = spark.read.parquet(paths["staging"])
     write_counts(staging, paths["counts"])
     if export_sinks:
         paths["success"] = os.path.join(out_dir, "success")
         paths["failure"] = os.path.join(out_dir, "failure")
-        write_success(staging, paths["success"], json_line=json_line)
         write_failure(staging, paths["failure"])
+        write_success(staging, paths["success"], json_line=json_line)
+    if snapshot_id is not None:
+        T._commit_manifest(
+            out_dir, {"snapshot_id": snapshot_id, "paths": paths}
+        )
     return paths

@@ -33,6 +33,39 @@ def read_token_stream(spark: SparkSession, in_dir: str, max_files: int = 16) -> 
     )
 
 
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+):
+    """Configured Kafka stream reader — the cluster-grade source the
+    reference's real ZeroMQ path maps to (ZeroMQ.hs:69-111). Returns
+    the *builder*; call ``.load()`` where the spark-sql-kafka connector
+    jar is on the classpath (not in this sandbox), then
+    ``decode_kafka_lines`` to enter the same normalise() transform the
+    file stream uses."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+
+
+def decode_kafka_lines(kafka_df: DataFrame) -> DataFrame:
+    """Kafka value bytes → the pipeline's input shape (raw line +
+    doc_id/source derived from the record coordinates)."""
+    return kafka_df.select(
+        F.concat_ws(
+            "-", F.col("topic"), F.col("partition"), F.col("offset")
+        ).alias("doc_id"),
+        F.col("topic").alias("source"),
+        F.col("value").cast("string").alias("raw"),
+    )
+
+
 def start_pipeline(
     spark: SparkSession,
     in_dir: str,
