@@ -521,7 +521,13 @@ def q_host_list(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "+",
     )
-    hosts = C.host_list(F.when(k % 2 == 0, ranged).otherwise(repeated))
+    # materialize the host_list result ONCE: referencing the expression
+    # from three output columns would re-evaluate the whole (HOF,
+    # interpreted) aggregation per reference
+    li = li.withColumn(
+        "_hosts", C.host_list(F.when(k % 2 == 0, ranged).otherwise(repeated))
+    )
+    hosts = F.col("_hosts")
     return li.select(
         F.format_string("hl-%d", k).alias("doc_id"),
         F.size(hosts).cast("long").alias("n_hosts"),

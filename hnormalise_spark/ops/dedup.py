@@ -16,6 +16,8 @@ so DuckDB oracles could not re-verify them).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -117,44 +119,48 @@ def minhash_lsh_dedup(
     Returns (id_a, id_b, jaccard) pairs with id_a < id_b.
     """
     rows = k // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(F.col(text_col), n).alias("_sh"),
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            char_shingles(F.col(text_col), n).alias("_sh"),
+        )
+        # _sig MUST be its own materialized column: band_keys references
+        # the signature 16x (4 bands x 4 rows), and an inline signature
+        # expression would be duplicated — and recomputed — per
+        # reference (measured 10x on this stage).
+        .withColumn("_sig", minhash_signature(F.col("_sh"), k))
+        .withColumn("_bands", band_keys(F.col("_sig"), bands, rows))
+        .drop("_sig")
     )
-    # Stage 1 — candidate generation on (id, band) ONLY. The shingle
-    # arrays must NOT ride through the band explode / self-join: at
-    # scale they dominate the shuffle (each doc's set would be copied
-    # `bands` times and again for every bucket partner).
-    banded = base.select(
-        "_id",
-        F.explode(
-            band_keys(minhash_signature(F.col("_sh"), k), bands, rows)
-        ).alias("_band"),
+    # In-bucket verify: the shingle sets ride the band shuffle (each
+    # doc copied `bands` times) and Jaccard evaluates WHERE the join
+    # lands them — pairs never shuffle their arrays again. The
+    # alternative (band-join ids only, then re-attach shingles to the
+    # candidate pairs with two equi-joins) shuffles one array copy per
+    # PAIR; with big LSH buckets (boilerplate-heavy corpora — exactly
+    # where dedup matters) pair count >> doc count and that variant
+    # measured 6.7x slower at sf0.1 (417 s vs 62 s). Band-carry bounds
+    # array shuffle volume at `bands`x the corpus regardless of pair
+    # count.
+    banded = base.select("_id", "_sh", "_bands", F.explode("_bands").alias("_band"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),
+        F.col("_bands").alias("bands_a"), "_band",
     )
-    a = banded.select(F.col("_id").alias("id_a"), "_band")
-    b = banded.select(F.col("_id").alias("id_b"), "_band")
-    cand = (
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"),
+        F.col("_bands").alias("bands_b"), "_band",
+    )
+    return (
         a.join(b, "_band")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    # Stage 2 — verify: re-attach shingles to the (small) candidate-id
-    # set and equi-join the pairs. The semi-join keeps the shingle-
-    # carrying side down to candidate docs only; with a small candidate
-    # set AQE turns these into broadcast joins.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .union(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    docs = base.join(cand_ids, "_id")
-    return (
-        cand.join(
-            docs.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a"
-        )
-        .join(
-            docs.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+        # verify each pair exactly ONCE: only at its minimal shared
+        # band (a 4-element array intersect — far cheaper than the
+        # duplicate Jaccard evaluations and the result-distinct()
+        # shuffle it replaces)
+        .filter(
+            F.col("_band")
+            == F.array_min(F.array_intersect(F.col("bands_a"), F.col("bands_b")))
         )
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -212,6 +218,31 @@ def simhash_from_hashes(hashes: Column) -> Column:
     )
 
 
+def _simhash_pandas_udf():
+    """Arrow-batched SimHash fold: numpy bit-matrix per document.
+
+    HOF expressions evaluate interpreted, so even the single-pass
+    zip_with fold pays ~120 interpreted lambda evaluations per shingle;
+    the numpy inner loop is two vectorized ops per document. Identical
+    bit-for-bit to simhash_from_hashes (both are re-derived by the
+    DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        js = np.arange(SIMHASH_BITS, dtype=np.int64)
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, h in enumerate(hashes):
+            v = np.asarray(h, dtype=np.int64)
+            bits = (v[:, None] >> js) & 1            # |shingles| x 60
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(v)
+            out[i] = int(((votes > 0).astype(np.int64) << js).sum())
+        return pd.Series(out)
+
+    return _simhash
+
+
 def simhash64(text: Column, n: int = 4) -> Column:
     """One-shot SimHash expression (prefer the two-step
     shingle_hashes → simhash_from_hashes in real plans)."""
@@ -220,11 +251,16 @@ def simhash64(text: Column, n: int = 4) -> Column:
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
     """Bucket by exact SimHash value (cheap near-dup pass for
-    boilerplate-heavy corpora); returns per-row sketch + bucket stats."""
+    boilerplate-heavy corpora); returns per-row sketch + bucket stats.
+
+    Shingle hashing stays JVM-side (one md5+conv per shingle); the
+    60-bit majority fold runs as a vectorized Arrow batch (see
+    _simhash_pandas_udf — identical values to the pure-expression
+    simhash_from_hashes, ~3x faster end-to-end)."""
     w = Window.partitionBy("simhash")
     return (
         df.withColumn("_sh_hashes", shingle_hashes(F.col(text_col), n))
-        .withColumn("simhash", simhash_from_hashes(F.col("_sh_hashes")))
+        .withColumn("simhash", _simhash_pandas_udf()(F.col("_sh_hashes")))
         .drop("_sh_hashes")
         .withColumn("bucket_size", F.count(F.lit(1)).over(w))
         .withColumn("is_near_dup", F.col("bucket_size") > 1)

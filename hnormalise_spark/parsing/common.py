@@ -72,6 +72,19 @@ def nullif_empty(c: Column) -> Column:
     return F.when(c != "", c)
 
 
+def let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` ONCE and pass it
+    to ``body`` as a lambda variable.
+
+    Interpreted expression evaluation (every HOF Project runs
+    interpreted) has no common-subexpression elimination, so an
+    expensive subtree referenced N times in one expression is computed
+    N times per row. Wrapping it as the element of a 1-element array
+    and binding through transform's lambda variable makes it a true
+    single evaluation, at the cost of one tiny array allocation."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 # ---------------------------------------------------------------------------
 # single-pass multi-group extraction
 #
@@ -139,29 +152,31 @@ def walltime_struct(s: Column) -> Column:
 
     Right-aligned split (the reference nests day→hour→minute→second
     parsers; splitting and right-aligning is the closed form). Null on
-    invalid input.
+    invalid input. The split is let-bound: nine references in the
+    struct would otherwise re-split per reference (interpreted eval has
+    no subexpression sharing).
     """
-    parts = F.split(s, ":")
-    n = F.size(parts)
 
-    def at(i: int) -> Column:  # i-th part from the right, 0 if absent
-        return (
-            F.when(n >= i, F.element_at(parts, -i).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
+    def build(parts: Column) -> Column:
+        n = F.size(parts)
 
-    secs, mins, hours, days = at(1), at(2), at(3), at(4)
-    total = ((days * 24 + hours) * 60 + mins) * 60 + secs
-    return F.when(
-        walltime_valid(s),
-        F.struct(
+        def at(i: int) -> Column:  # i-th part from the right, 0 if absent
+            return (
+                F.when(n >= i, F.element_at(parts, -i).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+
+        secs, mins, hours, days = at(1), at(2), at(3), at(4)
+        total = ((days * 24 + hours) * 60 + mins) * 60 + secs
+        return F.struct(
             days.alias("days"),
             hours.alias("hours"),
             mins.alias("minutes"),
             secs.alias("seconds"),
             total.alias("total_seconds"),
-        ),
-    )
+        )
+
+    return F.when(walltime_valid(s), let(F.split(s, ":"), build))
 
 
 def walltime_seconds(s: Column) -> Column:
@@ -241,21 +256,26 @@ def job_name_struct(s: Column) -> Column:
     (ParserSpec.hs:712-718); '-N' dash form supported (:125-127).
 
     One regex pass: all five groups packed and split (match success is
-    the packed arity, so not even a validity rlike is needed)."""
-    a = packed_groups(s, _RE_JOB_NAME_FULL, 5)
-    number = F.element_at(a, 1).cast("long")
-    array_id = F.coalesce(
-        nullif_empty(F.element_at(a, 2)), nullif_empty(F.element_at(a, 3))
-    ).cast("long")
-    return F.when(
-        packed_ok(a, 5),
-        F.struct(
-            number.alias("number"),
-            array_id.alias("array_id"),
-            F.element_at(a, 4).alias("master"),
-            F.element_at(a, 5).alias("cluster"),
-        ),
-    )
+    the packed arity, so not even a validity rlike is needed). The
+    packed array is let-bound — its six references would otherwise
+    re-run the regex per reference."""
+
+    def build(a: Column) -> Column:
+        number = F.element_at(a, 1).cast("long")
+        array_id = F.coalesce(
+            nullif_empty(F.element_at(a, 2)), nullif_empty(F.element_at(a, 3))
+        ).cast("long")
+        return F.when(
+            packed_ok(a, 5),
+            F.struct(
+                number.alias("number"),
+                array_id.alias("array_id"),
+                F.element_at(a, 4).alias("master"),
+                F.element_at(a, 5).alias("cluster"),
+            ),
+        )
+
+    return let(packed_groups(s, _RE_JOB_NAME_FULL, 5), build)
 
 
 # ---------------------------------------------------------------------------
@@ -295,12 +315,19 @@ def host_list(s: Column) -> Column:
     Ranges are expanded to the full enumeration (golden [0..15] at
     test/HNormalise/Torque/ParserSpec.hs:505-527); entries for the same
     host are merged with cores sorted (aggregateHosts, :278-286).
+
+    HOFs evaluate interpreted, so per-row expression-node count is the
+    cost driver: each element is decomposed with ONE split (no regex),
+    and the dominant no-repeated-host case takes a single
+    sort-of-structs fast path instead of the per-name filter+flatten
+    merge (which stays as the slow branch — CASE evaluates only one).
     """
 
     def cores_of(spec: Column) -> Column:
         def piece(c: Column) -> Column:
-            lo = F.split(c, "-")[0].cast("int")
-            hi = F.element_at(F.split(c, "-"), -1).cast("int")
+            d = F.split(c, "-")
+            lo = F.element_at(d, 1).cast("int")
+            hi = F.element_at(d, -1).cast("int")
             # reference [lo..hi] is empty when lo > hi
             return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
                 F.array().cast("array<int>")
@@ -308,30 +335,58 @@ def host_list(s: Column) -> Column:
 
         return F.flatten(F.transform(F.split(spec, ","), piece))
 
-    raw_hosts = F.transform(
-        F.split(s, r"\+"),
-        lambda e: F.struct(
-            F.regexp_extract(e, r"^([^/]*)/", 1).alias("name"),
-            cores_of(F.regexp_extract(e, r"^[^/]*/(.*)$", 1)).alias("cores"),
-        ),
-    )
-    names = F.array_sort(F.array_distinct(F.transform(raw_hosts, lambda h: h["name"])))
-    merged = F.transform(
-        names,
-        lambda nm: F.struct(
-            nm.alias("name"),
-            F.array_sort(
-                F.flatten(
-                    F.transform(
-                        F.filter(raw_hosts, lambda h: h["name"] == nm),
-                        lambda h: h["cores"],
-                    )
-                )
-            ).alias("cores"),
-        ),
-    )
+    def elem(e: Column) -> Column:
+        p = F.split(e, "/", 2)
+        return F.struct(
+            F.element_at(p, 1).alias("name"),
+            cores_of(F.element_at(p, 2)).alias("cores"),
+        )
+
+    def aggregate_hosts(raw_hosts: Column) -> Column:
+        names = F.array_sort(
+            F.array_distinct(F.transform(raw_hosts, lambda h: h["name"]))
+        )
+        # fast path: every host distinct → sort entries (struct order
+        # is name-first) and sort each core list; no per-name scan
+        unique_fast = F.array_sort(
+            F.transform(
+                raw_hosts,
+                lambda h: F.struct(
+                    h["name"].alias("name"), F.array_sort(h["cores"]).alias("cores")
+                ),
+            )
+        )
+
+        def merged(nms: Column) -> Column:
+            return F.transform(
+                nms,
+                lambda nm: F.struct(
+                    nm.alias("name"),
+                    F.array_sort(
+                        F.flatten(
+                            F.transform(
+                                F.filter(raw_hosts, lambda h: h["name"] == nm),
+                                lambda h: h["cores"],
+                            )
+                        )
+                    ).alias("cores"),
+                ),
+            )
+
+        # let-bind names: referenced by the gate and the merged branch
+        return let(
+            names,
+            lambda nms: F.when(F.size(nms) == F.size(raw_hosts), unique_fast).otherwise(
+                merged(nms)
+            ),
+        )
+
     empty = F.array().cast("array<struct<name:string,cores:array<int>>>")
-    return F.when(s == "", empty).when(host_list_valid(s), merged)
+    # let-bind the parsed elements: the gate, both branches and the name
+    # extraction all reference them (interpreted eval would recompute
+    # the split + core expansion per reference)
+    aggregated = let(F.transform(F.split(s, r"\+"), elem), aggregate_hosts)
+    return F.when(s == "", empty).when(host_list_valid(s), aggregated)
 
 
 # ---------------------------------------------------------------------------

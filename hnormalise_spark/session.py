@@ -34,18 +34,29 @@ def get_spark(
         builder = builder.master(master)
 
     conf = {
-        # NOTE: earlier rounds excluded PushDownPredicates and disabled
-        # constraint propagation here to stop predicate pushdown from
-        # substituting the parse's ~25-Project shared expression DAG
-        # into filter conditions (exponential unfolding; a filter
-        # condition reached 110 MB of text). The root cause is now
-        # fixed structurally — pipeline._payload_stage makes parse_ok
-        # nondeterministic, which blocks pushdown through the parse for
-        # EVERY optimizer batch (including "Extract Python UDFs", which
-        # ignores excludedRules) — so full pushdown is re-enabled for
-        # everything else. Re-validated: filter/limit/collect on a
-        # parsed frame all run in seconds with these defaults.
+        # NOTE: earlier rounds excluded PushDownPredicates entirely to
+        # stop predicate pushdown from substituting the parse's
+        # ~25-Project shared expression DAG into filter conditions
+        # (exponential unfolding; a filter condition reached 110 MB of
+        # text). That root cause is now fixed structurally —
+        # pipeline._payload_stage makes parse_ok nondeterministic,
+        # which blocks pushdown through the parse for EVERY optimizer
+        # batch (including "Extract Python UDFs", which ignores
+        # excludedRules) — so user-filter pushdown is fully enabled.
         #
+        # What stays off are the filter-INFERENCE rules, which
+        # manufacture predicates out of column-defining expressions and
+        # so duplicate big shared DAGs no matter where the user puts
+        # filters: InferFiltersFromGenerate inlined the MinHash
+        # signature chain into an isnotnull/size>0 filter under the LSH
+        # band explode (a 132 KB condition recomputing the signature
+        # ~32x per row — 332 s instead of 36 s at sf0.1), and
+        # constraint propagation does the same through
+        # InferFiltersFromConstraints. Their upside (skipping
+        # null/empty rows early) is nil for this workload.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        "spark.sql.constraintPropagation.enabled": "false",
         # AQE: runtime shuffle coalescing + skew-join splitting.
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
