@@ -411,6 +411,32 @@ def _oracle_similarity_ann() -> str:
     """
 
 
+def q_similarity_ann_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED ANN scale path: the corpus is written once
+    partitioned by sketch (similarity.build_ann_index) and the probe is
+    a partition-PRUNED scan of the query's bucket — the plan lists the
+    bucket under PartitionFilters and never touches the others. Same
+    result set as similarity_ann (radius-0 probe), so the same
+    independent oracle re-derives it."""
+    import os
+
+    from hnormalise_spark.ops import similarity as S
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/hnorm_ann_index_{tag}_{ANN_PLANES}p"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        S.build_ann_index(emb, idx, EMB_DIM, ANN_PLANES)
+    buckets = S.hamming_ball(S.query_sketch(QVEC, ANN_PLANES), ANN_PLANES, 0)
+    df = spark.read.parquet(idx).filter(F.col("sketch").isin(buckets))
+    scored = S.cosine_scores(df, QVEC)
+    return scored.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sketch").cast("long").alias("sketch"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
 
@@ -526,6 +552,7 @@ def queries():
         "ngram_jaccard": q_ngram_jaccard,
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
+        "similarity_ann_indexed": q_similarity_ann_indexed,
         "multimodal_features": q_multimodal,
         "tokens_roundtrip": q_tokens_roundtrip,
     }
@@ -540,6 +567,7 @@ def oracle_sql():
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "similarity_topk": _oracle_similarity_topk(),
         "similarity_ann": _oracle_similarity_ann(),
+        "similarity_ann_indexed": _oracle_similarity_ann(),
         "multimodal_features": _oracle_multimodal(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
     }

@@ -111,6 +111,76 @@ def ann_lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# persisted ANN index: sketch-partitioned table + pruned probes
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the scale path: write the corpus PARTITIONED BY the
+    LSH sketch. A probe then reads exactly its bucket directories —
+    partition pruning at the file listing, no scan of the rest (the
+    layout an Iceberg identity-partitioned table would give). Build is
+    one shuffle-free pass + the partitioned write."""
+    df.withColumn(
+        "sketch", lsh_sketch(F.col(vec_col), dim, n_planes)
+    ).write.mode("overwrite").partitionBy("sketch").parquet(path)
+
+
+def query_sketch(query_vec: list[float], n_planes: int = 12) -> int:
+    dim = len(query_vec)
+    bits = 0
+    for i in range(n_planes):
+        p = _plane(i, dim)
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            bits |= 1 << i
+    return bits
+
+
+def hamming_ball(sketch: int, n_planes: int, radius: int = 0) -> list[int]:
+    """Bucket ids within hamming distance `radius` of `sketch` —
+    multi-probe: each flipped plane admits near-boundary neighbours the
+    single bucket misses (recall knob; probes = sum_{r<=radius} C(n,r))."""
+    out = {sketch}
+    if radius >= 1:
+        out |= {sketch ^ (1 << i) for i in range(n_planes)}
+    if radius >= 2:
+        out |= {
+            sketch ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        }
+    return sorted(out)
+
+
+def ann_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a build_ann_index table: prune to the query's hamming-ball
+    buckets (partition filter — check PartitionFilters in .explain),
+    score only those rows, local top-k."""
+    buckets = hamming_ball(query_sketch(query_vec, n_planes), n_planes, probe_radius)
+    df = spark.read.parquet(index_path).filter(F.col("sketch").isin(buckets))
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "sketch", "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-row norm/dim plus corpus aggregates — the sanity profile."""
     per_row = df.withColumns(

@@ -327,7 +327,13 @@ def normalise_tokens(
 
 def route(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(success, failure) sharing ONE cached parse pass. Call
-    ``success.unpersist()`` when done (either handle works)."""
+    ``success.unpersist()`` when done (either handle works).
+
+    TEST/INTERACTIVE SCALE ONLY: persist() holds the full parsed frame
+    in executor memory/disk. The production fan-out is
+    ``sinks.run_batch`` — its staging parquet write is the shared
+    barrier, sized for inputs that dwarf cluster memory, and its sinks
+    are partition-pruned reads rather than cached filters."""
     from pyspark import StorageLevel
 
     cached = parsed.persist(StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,82 @@
+"""Persisted ANN index: partition pruning, multi-probe recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hnormalise_spark.ops import similarity as S
+
+DIM = 16
+N = 400
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    # deterministic synthetic embeddings
+    df = spark.range(N).toDF("vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: ((F.col("vec_id") * 31 + d * 17) % 13 - 6).cast("float") / 6.0,
+    )
+    return df.withColumn("embedding", vec)
+
+
+@pytest.fixture(scope="module")
+def qvec():
+    return [((i * 7) % 11 - 5) / 5.0 for i in range(DIM)]
+
+
+def test_index_probe_is_partition_pruned(spark, emb, qvec, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ann") / "idx")
+    S.build_ann_index(emb, idx, DIM, n_planes=6)
+
+    probe = S.ann_index_topk(spark, idx, qvec, k=5, n_planes=6)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the bucket filter must reach the scan as a PartitionFilter
+    assert "PartitionFilters: [" in plan
+    assert "sketch" in plan.split("PartitionFilters:")[1][:200]
+
+    # probe result equals brute-force restricted to the same bucket
+    q_sketch = S.query_sketch(qvec, 6)
+    brute = (
+        S.cosine_scores(
+            emb.withColumn("sketch", S.lsh_sketch(F.col("embedding"), DIM, 6)).filter(
+                F.col("sketch") == q_sketch
+            ),
+            qvec,
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    assert [r["vec_id"] for r in probe.select("vec_id").collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
+
+
+def test_multiprobe_recall_monotone(spark, emb, qvec, tmp_path_factory):
+    idx = str(tmp_path_factory.mktemp("ann2") / "idx")
+    S.build_ann_index(emb, idx, DIM, n_planes=6)
+    exact = {
+        r["vec_id"]
+        for r in S.cosine_topk(emb, qvec, k=10, id_col="vec_id").collect()
+    }
+
+    def recall(radius: int) -> float:
+        got = {
+            r["vec_id"]
+            for r in S.ann_index_topk(
+                spark, idx, qvec, k=10, n_planes=6, probe_radius=radius
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert r2 >= 0.8  # radius-2 ball over 6 planes covers 22/64 buckets
+
+    # hamming_ball sizes: 1, 1+n, 1+n+C(n,2)
+    assert len(S.hamming_ball(0, 6, 0)) == 1
+    assert len(S.hamming_ball(0, 6, 1)) == 7
+    assert len(S.hamming_ball(0, 6, 2)) == 22
