@@ -178,12 +178,24 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_minhash_lsh() -> str:
+    from hnormalise_spark.ops.dedup import MINHASH_P, minhash_params
+
     k, bands, rows = 16, 4, 4
+    params = minhash_params(k)
+    # 28-bit base hash: first 7 hex chars of md5, digit-by-digit
+    # (md5(x) inlined per digit — the oracle only runs at sf0.01)
+    hex7 = " + ".join(
+        f"{16 ** (6 - j)} * (strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1)"
+        for j in range(7)
+    )
     sig = ", ".join(
-        f"list_min(list_transform(s, x -> md5('{i}' || x))) AS g{i}" for i in range(k)
+        f"list_min(list_transform(hv, h -> ({a}::BIGINT * h + {b}) % {MINHASH_P})) AS g{i}"
+        for i, (a, b) in enumerate(params)
     )
     band_list = ", ".join(
-        f"md5('b{b}:' || " + " || '|' || ".join(f"g{b * rows + r}" for r in range(rows)) + ")"
+        f"md5('b{b}:' || "
+        + " || '|' || ".join(f"g{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
         for b in range(bands)
     )
     return f"""
@@ -196,7 +208,8 @@ def _oracle_minhash_lsh() -> str:
                        ELSE list_distinct(list_transform(range(1, length(t) - 3),
                                                          i -> substr(t, i, 5))) END AS s
            FROM norm),
-    sig AS (SELECT id, s, {sig} FROM sh),
+    hv AS (SELECT id, s, list_transform(s, x -> {hex7}) AS hv FROM sh),
+    sig AS (SELECT id, s, {sig} FROM hv),
     band AS (SELECT id, s, unnest([{band_list}]) AS bk FROM sig),
     pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                      len(list_intersect(a.s, b.s)) AS inter,
