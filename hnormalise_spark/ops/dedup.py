@@ -357,17 +357,26 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalised text; texts shorter than
-    n words collapse to one gram (the whole text)."""
-    words = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
-    cnt = F.size(words)
-    return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), cnt - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    n words collapse to one gram (the whole text). The word array is
+    let-bound: every per-gram element_at would otherwise re-evaluate
+    the split (interpreted eval shares nothing) — 3x(words-n) splits
+    per row."""
+    from hnormalise_spark.parsing.common import let
+
+    def build(words: Column) -> Column:
+        cnt = F.size(words)
+        return F.when(cnt < n, F.array(F.concat_ws(" ", words))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), cnt - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                    ),
+                )
             )
         )
-    )
+
+    return let(F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " "), build)
 
 
 def ngram_jaccard_pairs(

@@ -287,8 +287,15 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf}/documents.parquet").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    ga = D.word_ngrams(F.col("text"), 3)
-    gb = D.word_ngrams(F.concat(F.col("text"), F.lit(" zz yy xx ww")), 3)
+    # materialize each gram set once — size + intersect + union would
+    # otherwise re-build them per reference (interpreted HOF eval)
+    docs = docs.withColumns(
+        {
+            "_ga": D.word_ngrams(F.col("text"), 3),
+            "_gb": D.word_ngrams(F.concat(F.col("text"), F.lit(" zz yy xx ww")), 3),
+        }
+    )
+    ga, gb = F.col("_ga"), F.col("_gb")
     return docs.select(
         "doc_id",
         F.size(ga).cast("long").alias("n_grams_a"),
