@@ -9,11 +9,22 @@ query at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
     {"metric": "pipeline lines/sec", "value": <lines/s>, "unit": "lines/s",
      "queries": {name: sec, ...}, "sf": 0.1, ...}
 
+Every timed leg is STEAL-STAMPED: /proc/stat's steal counter (hypervisor
+CPU time stolen from this VM — BASELINE.md documents co-tenant bursts up
+to 17% that depress identical runs ~30%) is sampled around the leg and
+the percentage is emitted next to the seconds, so a regression can be
+told apart from a noisy-neighbour window. A leg whose steal exceeds
+``$SPARK_GRAFT_STEAL_MAX`` (default 2.0%) is re-run (up to
+``$SPARK_GRAFT_STEAL_RETRIES``, default 2) and the lowest-steal
+measurement is kept.
+
 Env knobs:
-    SPARK_GRAFT_SF_DIR       parquet table dir (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS         local[] parallelism (default 32)
-    SPARK_GRAFT_BENCH_LINES  corpus size for the throughput leg (default 2_000_000)
-    SPARK_GRAFT_SKIP_QUERIES set to skip the per-query leg (scaling runs)
+    SPARK_GRAFT_SF_DIR        parquet table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS          local[] parallelism (default 32)
+    SPARK_GRAFT_BENCH_LINES   corpus size for the throughput leg (default 2_000_000)
+    SPARK_GRAFT_SKIP_QUERIES  set to skip the per-query leg (scaling runs)
+    SPARK_GRAFT_STEAL_MAX     steal %% above which a leg re-runs (default 2.0)
+    SPARK_GRAFT_STEAL_RETRIES max re-runs per noisy leg (default 2)
 """
 
 from __future__ import annotations
@@ -32,6 +43,50 @@ def force(df) -> int:
     every projected column alive, unlike count()'s pruned scan)."""
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+# ---------------------------------------------------------------------------
+# steal stamping
+
+
+def _cpu_sample() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except OSError:  # non-Linux fallback: stamp zeros, never retry
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[0] - before[0]
+    return round(100.0 * (after[1] - before[1]) / dt, 2) if dt > 0 else 0.0
+
+
+STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "2.0"))
+STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+
+
+def timed(fn, retries: int = STEAL_RETRIES) -> tuple[float, float, int]:
+    """Run ``fn``, return (wall_sec, steal_pct, n_runs). Re-runs on a
+    stolen window, keeping the lowest-steal run (NOT the fastest — a
+    fast-but-stolen run would still be biased)."""
+    best = None
+    runs = 0
+    for _ in range(retries + 1):
+        s0 = _cpu_sample()
+        t0 = time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        sp = _steal_pct(s0, _cpu_sample())
+        runs += 1
+        if best is None or sp < best[1]:
+            best = (wall, sp)
+        if sp <= STEAL_MAX:
+            break
+    return best[0], best[1], runs
 
 
 def main() -> int:
@@ -70,38 +125,44 @@ def main() -> int:
     )
 
     out_dir = f"/tmp/hnorm_bench_out_{cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    df = spark.read.parquet(corpus)
-    parsed = normalise_tokens(df)
-    # the production path: one staged parse→route→json write + counts
-    paths = sinks.run_batch(spark, parsed, out_dir, json_line=True)
-    count_rows = {
-        (r["source"], r["parser"], r["parse_ok"]): r["n"]
-        for r in spark.read.parquet(paths["counts"]).collect()
-    }
-    wall = time.perf_counter() - t0
+    count_box = {}
+
+    def pipeline_leg():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        parsed = normalise_tokens(spark.read.parquet(corpus))
+        paths = sinks.run_batch(spark, parsed, out_dir, json_line=True)
+        count_box["rows"] = {
+            (r["source"], r["parser"], r["parse_ok"]): r["n"]
+            for r in spark.read.parquet(paths["counts"]).collect()
+        }
+
+    wall, pipe_steal, pipe_runs = timed(pipeline_leg)
     lps = n_lines / wall
 
     # --- leg 2: per-query wall clock -----------------------------------
     q_secs: dict[str, float] = {}
+    q_steal: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_QUERIES"):
         import __spark_entry__ as entry
 
         for name, fn in entry.queries().items():
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            q_secs[name] = round(time.perf_counter() - t0, 3)
+            w, sp, _ = timed(lambda: force(fn(spark, sf_dir)))
+            q_secs[name] = round(w, 3)
+            q_steal[name] = sp
 
-    n_success = sum(v for (s, p, ok), v in count_rows.items() if ok)
+    n_success = sum(v for (s, p, ok), v in count_box["rows"].items() if ok)
     result = {
         "metric": "normalised lines/sec (tokens->parse->route->json->counts)",
         "value": round(lps, 1),
         "unit": "lines/s",
         "queries": q_secs,
+        "query_steal_pct": q_steal,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
         "bench_lines": n_lines,
         "pipeline_wall_sec": round(wall, 2),
+        "pipeline_steal_pct": pipe_steal,
+        "pipeline_runs": pipe_runs,
+        "steal_max_pct": STEAL_MAX,
         "success_lines": n_success,
         "fail_lines": n_lines - n_success,
         "cpus": cpus,

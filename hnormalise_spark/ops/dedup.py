@@ -143,39 +143,80 @@ def _minhash_prep_arrow(df: DataFrame, id_col: str, text_col: str, n: int, k: in
     is kept below for SQL-expressible contexts, but every one of those
     steps is a higher-order function, and HOFs evaluate interpreted:
     measured 6.6 ms/doc for ~microseconds of actual hashing (and the
-    LSH self-join recomputes the whole chain for BOTH sides). The
-    vectorized pass produces bit-identical shingles/bands (md5 over
-    utf-8, same normalisation) at ~50x less per-doc cost."""
+    LSH self-join recomputes the whole chain for BOTH sides).
+
+    Bit-equivalence with the expression path is a contract (the DuckDB
+    oracle replays that path), so:
+    * null texts are DROPPED — the SQL path's null band array drops
+      them at the LSH explode (hashing them as '' would pair every
+      null doc with every other at jaccard 1.0: a quadratic blowup);
+    * whitespace handling is Java-\\s exact ([ \\t\\n\\x0b\\f\\r] + strip
+      of the space char) — Python's \\s/strip() are Unicode-aware and
+      would shingle NBSP-bearing texts differently from the JVM;
+    * the ``_id`` output type is derived from the input schema (string
+      doc ids survive, not just longs).
+
+    Hashing is batch-vectorized: each md5 is computed ONCE per UNIQUE
+    shingle in the Arrow batch (boilerplate corpora repeat shingles
+    heavily across docs), and the k=16 linear-permutation minima run as
+    numpy ``minimum.reduceat`` passes over the flat hash array instead
+    of a per-row Python loop (round-2 form: one hashlib call per
+    shingle *occurrence* — measured 2x slower end-to-end)."""
     import hashlib
     import re as _re
 
     params = minhash_params(k)
+    a_arr = np.array([a for a, _ in params], dtype=np.int64)
+    b_arr = np.array([b for _, b in params], dtype=np.int64)
     rows = k // bands
-    schema = "_id long, _sh array<string>, _bands array<string>"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"_id {id_type}, _sh array<string>, _bands array<string>"
+    ws = _re.compile("[ \t\n\x0b\f\r]+")
 
     def prep(it):
         for pdf in it:
-            ids, shs, bks = [], [], []
+            ids, shs = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                t = _re.sub(r"\s+", " ", text or "").strip().lower()
+                if not isinstance(text, str):
+                    continue  # null doc: SQL path drops it at explode
+                t = ws.sub(" ", text).strip(" ").lower()
                 if len(t) < n:
                     sh = [t]
                 else:
                     sh = list(dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1)))
-                hv = np.array(
-                    [int(hashlib.md5(s.encode()).hexdigest()[:7], 16) for s in sh],
-                    dtype=np.int64,
-                )
-                sig = [int(((a * hv + b) % MINHASH_P).min()) for a, b in params]
-                bands_out = [
+                ids.append(did)
+                shs.append(sh)
+            if not ids:
+                continue
+            counts = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+            flat = np.asarray([s for sh in shs for s in sh], dtype=object)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.fromiter(
+                (int(hashlib.md5(u.encode()).hexdigest()[:7], 16) for u in uniq),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            hv = uh[inv]
+            offsets = np.zeros(len(shs), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            # sigs[j, d] = min over doc d's shingles of (a_j*h + b_j) % P
+            # (a < 2^31, h < 2^28 → products < 2^59: no int64 overflow,
+            # same bound the DuckDB BIGINT oracle relies on)
+            sigs = np.empty((k, len(shs)), dtype=np.int64)
+            for j in range(k):
+                sigs[j] = np.minimum.reduceat((a_arr[j] * hv + b_arr[j]) % MINHASH_P, offsets)
+            bks = [
+                [
                     hashlib.md5(
-                        ("b%d:" % bb + "|".join(str(sig[bb * rows + r]) for r in range(rows))).encode()
+                        (
+                            "b%d:" % bb
+                            + "|".join(str(int(sigs[bb * rows + r, d])) for r in range(rows))
+                        ).encode()
                     ).hexdigest()
                     for bb in range(bands)
                 ]
-                ids.append(did)
-                shs.append(sh)
-                bks.append(bands_out)
+                for d in range(len(shs))
+            ]
             yield pd.DataFrame({"_id": ids, "_sh": shs, "_bands": bks})
 
     return df.select(F.col(id_col), F.col(text_col)).mapInPandas(prep, schema)
@@ -316,8 +357,14 @@ def _simhash_pandas_udf():
     @F.pandas_udf("long")
     def _simhash(hashes: pd.Series) -> pd.Series:
         js = np.arange(SIMHASH_BITS, dtype=np.int64)
-        out = np.empty(len(hashes), dtype=np.int64)
+        # nullable Int64: a null text yields a null hash array, which
+        # must propagate to a null sketch exactly like the expression
+        # form simhash_from_hashes does (np.asarray(None) would throw
+        # and kill the task — the whole job — on one bad row)
+        out = pd.array([None] * len(hashes), dtype="Int64")
         for i, h in enumerate(hashes):
+            if h is None:
+                continue
             v = np.asarray(h, dtype=np.int64)
             bits = (v[:, None] >> js) & 1            # |shingles| x 60
             votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(v)
@@ -346,7 +393,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         df.withColumn("_sh_hashes", shingle_hashes(F.col(text_col), n))
         .withColumn("simhash", _simhash_pandas_udf()(F.col("_sh_hashes")))
         .drop("_sh_hashes")
-        .withColumn("bucket_size", F.count(F.lit(1)).over(w))
+        # null-text rows have no sketch: they are not members of any
+        # bucket (grouping them into one "null bucket" would mark all
+        # null docs mutual near-dups)
+        .withColumn(
+            "bucket_size",
+            F.when(F.col("simhash").isNotNull(), F.count("simhash").over(w)),
+        )
         .withColumn("is_near_dup", F.col("bucket_size") > 1)
     )
 

@@ -457,6 +457,56 @@ def q_similarity_ann_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe ANN over the SNAPSHOT-COMMITTED index: the corpus is
+    committed through table.write_snapshot (manifest → only committed
+    snapshots are listed), and the radius-1 hamming ball (1 + n_planes
+    buckets) is scored — the recall knob the single-bucket probe lacks.
+    Both partition levels prune at file listing; the oracle re-derives
+    the identical bucket set and scores from the raw table."""
+    import os
+
+    from hnormalise_spark.ops import similarity as S
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/hnorm_ann_snapidx_{tag}_{ANN_PLANES}p"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    S.build_ann_index_snapshot(emb, idx, "base", EMB_DIM, ANN_PLANES)
+    probe = S.ann_snapshot_probe(spark, idx, QVEC, ANN_PLANES, probe_radius=1)
+    return probe.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("sketch").cast("long").alias("sketch"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    )
+
+
+def _oracle_similarity_ann_multiprobe() -> str:
+    from hnormalise_spark.ops.similarity import hamming_ball, query_sketch
+
+    planes = _planes(ANN_PLANES, EMB_DIM)
+    buckets = hamming_ball(query_sketch(QVEC, ANN_PLANES), ANN_PLANES, 1)
+    plane_dots = [
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> embedding[i]::DOUBLE * "
+        f"([{', '.join(repr(v) for v in p)}]::DOUBLE[])[i]))"
+        for p in planes
+    ]
+    sketch = " + ".join(
+        f"CASE WHEN {d} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i, d in enumerate(plane_dots)
+    )
+    return f"""
+    WITH s AS (SELECT vec_id, embedding, {sketch} AS sketch FROM embeddings),
+    b AS (SELECT vec_id, sketch,
+            list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                     i -> embedding[i]::DOUBLE * ({_qvec_sql()})[i])) AS dot,
+            sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+          FROM s WHERE sketch IN ({', '.join(str(b) for b in buckets)}))
+    SELECT vec_id, sketch,
+           floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+    FROM b
+    """
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
 
@@ -573,6 +623,7 @@ def queries():
         "similarity_topk": q_similarity_topk,
         "similarity_ann": q_similarity_ann,
         "similarity_ann_indexed": q_similarity_ann_indexed,
+        "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
         "multimodal_features": q_multimodal,
         "tokens_roundtrip": q_tokens_roundtrip,
     }
@@ -588,6 +639,7 @@ def oracle_sql():
         "similarity_topk": _oracle_similarity_topk(),
         "similarity_ann": _oracle_similarity_ann(),
         "similarity_ann_indexed": _oracle_similarity_ann(),
+        "similarity_ann_multiprobe": _oracle_similarity_ann_multiprobe(),
         "multimodal_features": _oracle_multimodal(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
     }

@@ -132,6 +132,69 @@ def build_ann_index(
     ).write.mode("overwrite").partitionBy("sketch").parquet(path)
 
 
+def build_ann_index_snapshot(
+    df: DataFrame,
+    table_path: str,
+    snapshot_id: str,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+) -> bool:
+    """``build_ann_index`` routed through the snapshot table layer
+    (table.write_snapshot): the sketch-partitioned data lands under
+    ``data/snapshot_id=<id>/sketch=<bucket>/`` and becomes visible only
+    at the manifest commit — so index builds are resumable (re-running
+    a committed build is a no-op) and INCREMENTAL (each new corpus
+    batch is its own committed snapshot; probes read the union).
+    Returns False on a resume no-op, True when the snapshot committed."""
+    from hnormalise_spark import table as T
+
+    sk = df.withColumn("sketch", lsh_sketch(F.col(vec_col), dim, n_planes))
+    return T.write_snapshot(sk, table_path, snapshot_id, partition_by=("sketch",))
+
+
+def ann_snapshot_probe(
+    spark,
+    table_path: str,
+    query_vec: list[float],
+    n_planes: int = 12,
+    probe_radius: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Score the query's hamming-ball buckets across ALL committed
+    index snapshots. Both partition levels prune at the file listing:
+    uncommitted snapshot dirs are never listed (manifest), and
+    non-probed sketch dirs are dropped by PartitionFilters — the scan
+    touches exactly |ball| directories per committed snapshot."""
+    from hnormalise_spark import table as T
+
+    buckets = hamming_ball(query_sketch(query_vec, n_planes), n_planes, probe_radius)
+    df = T.read_committed(spark, table_path).filter(F.col("sketch").isin(buckets))
+    return cosine_scores(df, query_vec, vec_col).select(
+        id_col, "sketch", "cosine"
+    )
+
+
+def ann_snapshot_topk(
+    spark,
+    table_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    return (
+        ann_snapshot_probe(
+            spark, table_path, query_vec, n_planes, probe_radius, vec_col, id_col
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def query_sketch(query_vec: list[float], n_planes: int = 12) -> int:
     dim = len(query_vec)
     bits = 0
@@ -145,16 +208,18 @@ def query_sketch(query_vec: list[float], n_planes: int = 12) -> int:
 def hamming_ball(sketch: int, n_planes: int, radius: int = 0) -> list[int]:
     """Bucket ids within hamming distance `radius` of `sketch` —
     multi-probe: each flipped plane admits near-boundary neighbours the
-    single bucket misses (recall knob; probes = sum_{r<=radius} C(n,r))."""
+    single bucket misses (recall knob; probes = sum_{r<=radius} C(n,r),
+    for ANY radius up to n_planes — an earlier version silently capped
+    at 2, understating recall for radius>=3 probes)."""
+    from itertools import combinations
+
     out = {sketch}
-    if radius >= 1:
-        out |= {sketch ^ (1 << i) for i in range(n_planes)}
-    if radius >= 2:
-        out |= {
-            sketch ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        }
+    for r in range(1, min(radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            out.add(sketch ^ flip)
     return sorted(out)
 
 

@@ -163,6 +163,11 @@ def run_batch(
         "failure": os.path.join(out_dir, "staging", "route=failure"),
         "counts": os.path.join(out_dir, "counts"),
     }
+    if export_sinks:
+        # resolve export locations up front so the resume early-return
+        # below hands back the same dict shape as a fresh run
+        paths["success"] = os.path.join(out_dir, "success")
+        paths["failure"] = os.path.join(out_dir, "failure")
     if snapshot_id is not None:
         from hnormalise_spark import table as T
 
@@ -172,8 +177,6 @@ def run_batch(
     staging = spark.read.parquet(paths["staging"])
     write_counts(staging, paths["counts"])
     if export_sinks:
-        paths["success"] = os.path.join(out_dir, "success")
-        paths["failure"] = os.path.join(out_dir, "failure")
         write_failure(staging, paths["failure"])
         write_success(staging, paths["success"], json_line=json_line)
     if snapshot_id is not None:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -50,8 +51,19 @@ def iceberg_available(spark: SparkSession) -> bool:
 # manifest emulation
 
 
+def manifest_root(table_path: str) -> str:
+    """ONE canonical manifest location per table, shared by the commit
+    and the resume check. Filesystem tables keep the manifest inside
+    the table dir; catalog identifiers (``cat.db.tbl`` — no ``/``) map
+    to a sidecar dir since the identifier is not a path. Deriving this
+    in exactly one place is load-bearing: round 2 computed it ad hoc on
+    the commit side only, so ``is_committed`` never saw Iceberg commits
+    and every resume would have re-appended the snapshot."""
+    return table_path if "/" in table_path else table_path.replace(".", "_")
+
+
 def _manifest_path(table_path: str) -> str:
-    return os.path.join(table_path, "_manifest", "manifest.json")
+    return os.path.join(manifest_root(table_path), "_manifest", "manifest.json")
 
 
 def read_manifest(table_path: str) -> dict:
@@ -66,21 +78,44 @@ def committed_snapshot_ids(table_path: str) -> list[str]:
     return [s["snapshot_id"] for s in read_manifest(table_path)["snapshots"]]
 
 
-def _commit_manifest(table_path: str, entry: dict) -> None:
-    """Atomically append one snapshot entry (temp file + rename — the
-    manifest is tiny; at real scale this is the catalog/metastore
-    commit, which Iceberg likewise funnels through a single atomic
-    swap)."""
-    man = read_manifest(table_path)
-    man["snapshots"] = [
-        s for s in man["snapshots"] if s["snapshot_id"] != entry["snapshot_id"]
-    ] + [entry]
+def _commit_manifest(table_path: str, entry: dict, lock_timeout: float = 10.0) -> None:
+    """Atomically append one snapshot entry. Two layers:
+
+    * temp file + ``os.replace`` — readers never see a torn manifest;
+    * an ``O_EXCL`` lock file serialising the read-modify-write, so two
+      concurrent committers of *different* snapshots cannot lose an
+      entry. This is the local-fs stand-in for what a real deployment
+      delegates to the catalog (Iceberg's metastore/REST commit is the
+      same single-writer swap); O_EXCL is not atomic on some object
+      stores — there, the catalog IS the lock.
+    """
     d = os.path.dirname(_manifest_path(table_path))
     os.makedirs(d, exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(man, fh, indent=1)
-    os.replace(tmp, _manifest_path(table_path))
+    lock = os.path.join(d, ".manifest.lock")
+    deadline = time.monotonic() + lock_timeout
+    while True:
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"manifest lock {lock} held past {lock_timeout}s — "
+                    "crashed committer? remove the lock file to recover"
+                )
+            time.sleep(0.02)
+    try:
+        man = read_manifest(table_path)
+        man["snapshots"] = [
+            s for s in man["snapshots"] if s["snapshot_id"] != entry["snapshot_id"]
+        ] + [entry]
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, _manifest_path(table_path))
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock)
 
 
 def snapshot_data_path(table_path: str, snapshot_id: str) -> str:
@@ -112,13 +147,24 @@ def write_snapshot(
         # Real Iceberg (table_path is a catalog identifier here): one
         # atomic append per snapshot; Iceberg assigns its own snapshot
         # id, and our manifest still carries the *logical* id so resume
-        # logic is engine-independent.
+        # logic is engine-independent. The manifest commit goes through
+        # the SAME canonical location `is_committed` reads
+        # (manifest_root) — a path computed only on the commit side
+        # made resume a silent double-append in round 2.
+        from pyspark.errors import AnalysisException
+
         try:
             df.writeTo(table_path).append()
-        except Exception:
+        except AnalysisException as e:
+            # Only table-not-exists falls through to create; any other
+            # append failure (auth, network, schema drift) must surface
+            # — retrying it as a CREATE would at best fail confusingly
+            # and at worst shadow real data loss.
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+                raise
             df.writeTo(table_path).using("iceberg").create()
         _commit_manifest(
-            table_path.replace(".", "_"),
+            table_path,
             {"snapshot_id": snapshot_id, "engine": "iceberg", **(extra or {})},
         )
         return True

@@ -80,3 +80,42 @@ def test_multiprobe_recall_monotone(spark, emb, qvec, tmp_path_factory):
     assert len(S.hamming_ball(0, 6, 0)) == 1
     assert len(S.hamming_ball(0, 6, 1)) == 7
     assert len(S.hamming_ball(0, 6, 2)) == 22
+
+
+def test_snapshot_index_incremental_and_pruned(spark, emb, qvec, tmp_path_factory):
+    """Index builds through the snapshot table layer: committed builds
+    are resume no-ops, a second snapshot extends the probe's corpus
+    (incremental re-index), and the probe stays partition-pruned on
+    BOTH levels (manifest prunes uncommitted snapshots, sketch prunes
+    buckets)."""
+    idx = str(tmp_path_factory.mktemp("ann3") / "idx")
+    first = emb.filter(F.col("vec_id") < N // 2)
+    second = emb.filter(F.col("vec_id") >= N // 2)
+
+    assert S.build_ann_index_snapshot(first, idx, "s1", DIM, n_planes=6) is True
+    got1 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 1).collect()}
+
+    # resume: committed build is a no-op
+    assert S.build_ann_index_snapshot(first, idx, "s1", DIM, n_planes=6) is False
+
+    # incremental: new corpus batch = new snapshot; probe sees the union
+    assert S.build_ann_index_snapshot(second, idx, "s2", DIM, n_planes=6) is True
+    got2 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 1).collect()}
+    assert got1 < got2
+    assert any(v >= N // 2 for v in got2)
+
+    # equivalent to sketching the full corpus in one pass
+    buckets = S.hamming_ball(S.query_sketch(qvec, 6), 6, 1)
+    brute = {
+        r["vec_id"]
+        for r in emb.withColumn("sketch", S.lsh_sketch(F.col("embedding"), DIM, 6))
+        .filter(F.col("sketch").isin(buckets))
+        .collect()
+    }
+    assert got2 == brute
+
+    # sketch filter reaches the scan as a partition filter
+    probe = S.ann_snapshot_probe(spark, idx, qvec, 6, 1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "sketch" in plan.split("PartitionFilters:")[1][:300]
