@@ -92,20 +92,24 @@ def test_snapshot_index_incremental_and_pruned(spark, emb, qvec, tmp_path_factor
     first = emb.filter(F.col("vec_id") < N // 2)
     second = emb.filter(F.col("vec_id") >= N // 2)
 
+    # radius 2: the synthetic corpus occupies 11 of 64 buckets and the
+    # query's radius-1 ball happens to miss all of them (a data
+    # artifact, not a pruning bug) — radius 2 reaches buckets 8 and 11
     assert S.build_ann_index_snapshot(first, idx, "s1", DIM, n_planes=6) is True
-    got1 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 1).collect()}
+    got1 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 2).collect()}
+    assert got1  # non-vacuous: the probe must actually hit data
 
     # resume: committed build is a no-op
     assert S.build_ann_index_snapshot(first, idx, "s1", DIM, n_planes=6) is False
 
     # incremental: new corpus batch = new snapshot; probe sees the union
     assert S.build_ann_index_snapshot(second, idx, "s2", DIM, n_planes=6) is True
-    got2 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 1).collect()}
+    got2 = {r["vec_id"] for r in S.ann_snapshot_probe(spark, idx, qvec, 6, 2).collect()}
     assert got1 < got2
     assert any(v >= N // 2 for v in got2)
 
     # equivalent to sketching the full corpus in one pass
-    buckets = S.hamming_ball(S.query_sketch(qvec, 6), 6, 1)
+    buckets = S.hamming_ball(S.query_sketch(qvec, 6), 6, 2)
     brute = {
         r["vec_id"]
         for r in emb.withColumn("sketch", S.lsh_sketch(F.col("embedding"), DIM, 6))
@@ -115,7 +119,7 @@ def test_snapshot_index_incremental_and_pruned(spark, emb, qvec, tmp_path_factor
     assert got2 == brute
 
     # sketch filter reaches the scan as a partition filter
-    probe = S.ann_snapshot_probe(spark, idx, qvec, 6, 1)
+    probe = S.ann_snapshot_probe(spark, idx, qvec, 6, 2)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "sketch" in plan.split("PartitionFilters:")[1][:300]
