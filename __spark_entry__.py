@@ -22,10 +22,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small key table to the session's core count BEFORE
+    the per-row heavy work (line construction + parse, shingle hashing).
+
+    The synthetic key tables are single-digit-MB parquet files — ONE
+    input split under maxPartitionBytes — while the work per row is
+    ms-scale CPU, so without this the whole query runs on one core of a
+    32-core session. At 100 TB the scan itself supplies thousands of
+    splits and this repartition is a no-op-sized shuffle of key columns
+    (bytes/row); partition-count-from-bytes is the wrong heuristic
+    whenever per-row compute, not I/O, is the bottleneck."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def _norm(df: DataFrame, line: F.Column, doc_id: F.Column) -> DataFrame:
     from hnormalise_spark.pipeline import normalise
 
-    return normalise(df.select(doc_id.alias("doc_id"), line.alias("raw")))
+    # repartition the KEYS (not the constructed lines): only the long
+    # column crosses the shuffle; format_string runs post-shuffle on
+    # all cores
+    return normalise(_spread(df).select(doc_id.alias("doc_id"), line.alias("raw")))
 
 
 def _env(msg: F.Column, k: F.Column) -> F.Column:

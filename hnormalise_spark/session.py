@@ -83,7 +83,11 @@ def get_spark(
         # projection code splits into many <1 KB methods that all JIT.
         # Query-leg timings are equal-or-better across the board too
         # (torque_exit 29s vs 41s, walltime_memory 7s vs 17s at sf0.1).
-        "spark.sql.codegen.wholeStage": "false",
+        # (override with SPARK_GRAFT_WHOLESTAGE=true to A/B the fused
+        # mode — the scaling proxy records both; see BASELINE.md)
+        "spark.sql.codegen.wholeStage": os.environ.get(
+            "SPARK_GRAFT_WHOLESTAGE", "false"
+        ),
         # If a deployment re-enables whole-stage codegen, the pipeline's
         # codegen_barrier region splits keep every fused region under
         # Janino's 64 KB method cap, and this lets the wide payload
