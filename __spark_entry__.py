@@ -33,8 +33,9 @@ def _spread(df: DataFrame) -> DataFrame:
     splits and this repartition is a no-op-sized shuffle of key columns
     (bytes/row); partition-count-from-bytes is the wrong heuristic
     whenever per-row compute, not I/O, is the bottleneck."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    from hnormalise_spark.session import spread_to_cores
+
+    return spread_to_cores(df)
 
 
 def _norm(df: DataFrame, line: F.Column, doc_id: F.Column) -> DataFrame:
@@ -418,8 +419,10 @@ def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
     """A1 + routing: first-match-wins dispatch over a mixed corpus with
     deterministic junk, aggregated per (source, parser, parse_ok) —
     the reference's success/fail counters generalized."""
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.col("event_id").cast("long").alias("k")
+    ev = _spread(
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("event_id").cast("long").alias("k")
+        )
     )
     k = F.col("k")
     tq = F.format_string("torque: 06/28/2017 14:31:09;Q;%d.m.c.example.org;queue=q", k)
@@ -479,8 +482,10 @@ def q_walltime_memory(spark: SparkSession, sf: str) -> DataFrame:
     case mixes)."""
     from hnormalise_spark.parsing import common as C
 
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+    li = _spread(
+        spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+        )
     )
     k = F.col("k")
     wt = (
@@ -524,8 +529,10 @@ def q_host_list(spark: SparkSession, sf: str) -> DataFrame:
     repeated m times with one core each (must merge)."""
     from hnormalise_spark.parsing import common as C
 
-    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+    li = _spread(
+        spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("k")
+        )
     )
     k = F.col("k")
     lo = k % 10
@@ -693,8 +700,10 @@ def q_json_input(spark: SparkSession, sf: str) -> DataFrame:
     missing mandatory members route to failure."""
     from hnormalise_spark.pipeline import normalise_json
 
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.col("event_id").cast("long").alias("k")
+    ev = _spread(
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("event_id").cast("long").alias("k")
+        )
     )
     k = F.col("k")
     msg = F.format_string(

@@ -17,6 +17,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hnormalise_spark.session import spread_to_cores
+
 _HEXD = "0123456789abcdef"
 
 
@@ -34,7 +36,7 @@ def q_text_analyze(spark: SparkSession, sf: str) -> DataFrame:
     one JVM-expression pass over the documents table."""
     from hnormalise_spark.ops import textops as T
 
-    df = spark.read.parquet(f"{sf}/documents.parquet")
+    df = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
     t = F.col("text")
     cc = T.char_class_counts(t)
     return df.select(
@@ -102,8 +104,10 @@ _DUP_SQL = """
 
 
 def _docs_with_exact_dups(spark: SparkSession, sf: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     dups = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -160,8 +164,10 @@ def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     source; the oracle replays the identical md5-derived LSH."""
     from hnormalise_spark.ops import dedup as D
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     mut = docs.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -230,8 +236,10 @@ def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     itself is oracle-checked bit for bit."""
     from hnormalise_spark.ops import dedup as D
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     out = D.simhash_dedup(docs, n=4)
     return out.select(
@@ -284,8 +292,10 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the verify step of the near-dup pipeline, isolated."""
     from hnormalise_spark.ops import dedup as D
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
     )
     # materialize each gram set once — size + intersect + union would
     # otherwise re-build them per reference (interpreted HOF eval)
@@ -558,8 +568,10 @@ def q_tokens_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     and the payload parses."""
     from hnormalise_spark.pipeline import normalise_tokens
 
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
-        F.col("event_id").cast("long").alias("k")
+    ev = spread_to_cores(
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("event_id").cast("long").alias("k")
+        )
     )
     k = F.col("k")
     msg = F.format_string(

@@ -113,3 +113,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def spread_to_cores(df):
+    """Repartition to the session's default parallelism — for inputs
+    whose per-row COMPUTE (regex parse, shingle hashing, JSON encode)
+    dwarfs their byte size.
+
+    Spark sizes scan partitions from bytes (maxPartitionBytes), which
+    is the right heuristic when I/O dominates; a few-MB parquet file is
+    one split, so ms-per-row work downstream of it runs on ONE core of
+    the session. At 100 TB the scan itself supplies thousands of splits
+    and this becomes a no-op-sized shuffle — call it right after the
+    scan, BEFORE heavy projections, so only the narrow input columns
+    cross the wire and all post-shuffle work runs on every core."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
