@@ -455,3 +455,47 @@ def ngram_jaccard_pairs(
         .join(g.select(F.col("_id").alias("id_b"), F.col("_g").alias("g_b")), "id_b")
         .select("id_a", "id_b", jaccard(F.col("g_a"), F.col("g_b")).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs
+
+
+def embedding_neardup_pairs(
+    df: "DataFrame",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Near-duplicate detection in EMBEDDING space: candidate pairs are
+    generated by an LSH sign-sketch bucket equi-join (two vectors are
+    candidates only when all n_planes sign bits agree — collision
+    probability (1 - theta/pi)^n_planes for angle theta), then verified
+    with the exact cosine. The join is a hash equi-join on the bucket
+    key, never all-pairs: shuffle and compare cost are bounded by the
+    in-bucket pair count, the same bound as ``minhash_lsh_dedup``'s
+    band join. Recall tightens/loosens via n_planes; at cluster scale
+    the sketched frame is one map-side projection feeding one shuffle.
+    Skewed buckets (a dense semantic cluster) behave like any skewed
+    join key — AQE skew-join splits them, and ``n_planes`` can be
+    raised to subdivide hot buckets."""
+    from hnormalise_spark.ops.similarity import cosine, lsh_sketch
+
+    sk = df.select(
+        F.col(id_col), F.col(vec_col), lsh_sketch(F.col(vec_col), dim, n_planes).alias("_b")
+    )
+    a = sk.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_b")
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_b")
+    )
+    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "_b", "cosine")
+        .withColumnRenamed("_b", "bucket")
+    )

@@ -517,6 +517,126 @@ def _oracle_similarity_ann_multiprobe() -> str:
     """
 
 
+NEARDUP_PLANES = 4
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH sign-sketch bucket equi-join
+    generates candidate pairs (hash join on the bucket key, never
+    all-pairs), exact cosine verifies them against the threshold —
+    the embedding-space sibling of minhash_lsh."""
+    from hnormalise_spark.ops import dedup as D
+
+    emb = spread_to_cores(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    pairs = D.embedding_neardup_pairs(
+        emb, EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    )
+
+
+def _oracle_embedding_neardup() -> str:
+    planes = _planes(NEARDUP_PLANES, EMB_DIM)
+    plane_dots = [
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> embedding[i]::DOUBLE * "
+        f"([{', '.join(repr(v) for v in p)}]::DOUBLE[])[i]))"
+        for p in planes
+    ]
+    sketch = " + ".join(
+        f"CASE WHEN {d} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i, d in enumerate(plane_dots)
+    )
+    pair_dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({}.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+    WITH s AS (SELECT vec_id, embedding, {sketch} AS bucket FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+            {pair_dot} / ({nrm.format('a')} * {nrm.format('b')}) AS cos
+          FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, bucket,
+           floor(cos * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+    FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}
+    """
+
+
+IVF_STRIDE = 37
+IVF_NPROBE = 2
+
+
+def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: deterministic centroids (vec_id % stride == 0), every
+    vector map-side-assigned to its nearest list, corpus persisted
+    PARTITIONED BY list_id, probe scans only the nprobe nearest lists
+    (partition-pruned) and scores them exactly. The second classic ANN
+    layout next to the LSH index."""
+    import os
+
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, IVF_STRIDE)
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/hnorm_ivf_index_{tag}_{IVF_STRIDE}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        S.ivf_assign(spread_to_cores(emb), cents).write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(idx)
+    lists = S.ivf_probe_lists(QVEC, cents, IVF_NPROBE)
+    df = spark.read.parquet(idx).filter(F.col("list_id").isin(lists))
+    scored = S.cosine_scores(df, QVEC)
+    return scored.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    )
+
+
+def _oracle_similarity_ivf() -> str:
+    """Re-derives centroid selection, nearest-centroid assignment, the
+    nprobe probe-list choice, and the in-list exact scores entirely in
+    SQL — no value is smuggled from the Spark side."""
+    cdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE))"
+    )
+    qcdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> ({_qvec_sql()})[i] * c_emb[i]::DOUBLE))"
+    )
+    qdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> embedding[i]::DOUBLE * ({_qvec_sql()})[i]))"
+    )
+    return f"""
+    WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                      sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS c_nrm
+               FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+    scored AS (SELECT e.vec_id, c.c_id,
+                 {cdot} / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) * c.c_nrm) AS cos
+               FROM embeddings e CROSS JOIN c),
+    asg AS (SELECT vec_id, c_id AS list_id FROM (
+              SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+              FROM scored) WHERE rn = 1),
+    pl AS (SELECT c_id FROM (
+             SELECT c_id, {qcdot} / ({_QNORM!r} * c_nrm) AS qcos FROM c)
+           ORDER BY qcos DESC, c_id ASC LIMIT {IVF_NPROBE})
+    SELECT e.vec_id, a.list_id,
+           floor({qdot} / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) * {_QNORM!r})
+                 * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+    FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
+    WHERE a.list_id IN (SELECT c_id FROM pl)
+    """
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
 
@@ -636,6 +756,8 @@ def queries():
         "similarity_ann": q_similarity_ann,
         "similarity_ann_indexed": q_similarity_ann_indexed,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal,
         "tokens_roundtrip": q_tokens_roundtrip,
     }
@@ -652,6 +774,8 @@ def oracle_sql():
         "similarity_ann": _oracle_similarity_ann(),
         "similarity_ann_indexed": _oracle_similarity_ann(),
         "similarity_ann_multiprobe": _oracle_similarity_ann_multiprobe(),
+        "similarity_ivf": _oracle_similarity_ivf(),
+        "embedding_neardup": _oracle_embedding_neardup(),
         "multimodal_features": _oracle_multimodal(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
     }

@@ -246,6 +246,122 @@ def ann_index_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: centroid lists + partition-pruned probes
+#
+# The second classic ANN layout next to LSH: every vector is assigned to
+# its nearest centroid ("list"), the corpus is persisted partitioned by
+# list id, and a probe scans only the nprobe lists whose centroids are
+# nearest the query. Centroids are driver-sized BY CONSTRUCTION (nlist ~
+# sqrt(N) vectors of dim floats — a few MB even at 10^9 vectors), which
+# is how real IVF works too: train k-means on a sample, keep the
+# centroid table on the driver / broadcast it.
+
+
+def ivf_centroids(
+    df: DataFrame, stride: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid selection: the vectors whose id is a
+    multiple of ``stride`` (a seeded k-means would also work; modular
+    selection keeps the choice reproducible across engines so the
+    DuckDB oracle can re-derive it in SQL). The collect is the index
+    *build* step and is driver-sized by construction — nlist =
+    ceil(N/stride) rows, never the corpus."""
+    rows = (
+        df.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _centroid_cos(vec: Column, centroid: list[float]) -> Column:
+    import math
+
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    cn = math.sqrt(sum(x * x for x in centroid))
+    return dot(vec, c) / (norm(vec) * F.lit(cn))
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side list assignment: argmax cosine over the literal
+    centroid arrays — no join, no shuffle; ties break to the lowest
+    centroid id. Compiles to one projection, so the build is a single
+    pass over the corpus."""
+    cands = F.array(
+        *[
+            F.struct(
+                _centroid_cos(F.col(vec_col), cvec).alias("cos"),
+                F.lit(-cid).cast("long").alias("negid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(cands)
+    return df.withColumn("list_id", (-best["negid"]).cast("long"))
+
+
+def ivf_probe_lists(
+    query_vec: list[float], centroids: list[tuple[int, list[float]]], nprobe: int
+) -> list[int]:
+    """The nprobe centroid ids nearest the query (driver-side — the
+    centroid table is small by construction). Ties break to the lowest
+    centroid id, mirroring the SQL oracle's ORDER BY cos DESC, id."""
+    import math
+
+    qn = math.sqrt(sum(v * v for v in query_vec))
+    scored = []
+    for cid, cvec in centroids:
+        cn = math.sqrt(sum(x * x for x in cvec))
+        cos = sum(a * b for a, b in zip(query_vec, cvec)) / (qn * cn)
+        scored.append((-cos, cid))
+    return [cid for _, cid in sorted(scored)[:nprobe]]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    stride: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Assign every vector to its list and persist PARTITIONED BY
+    list_id — probes prune to their nprobe list directories at the
+    file listing, exactly like the LSH index. Returns the centroids
+    (the probe side needs them)."""
+    cents = ivf_centroids(df, stride, id_col, vec_col)
+    ivf_assign(df, cents, vec_col).write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
+    return cents
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe an IVF index: scan only the nprobe nearest lists
+    (PartitionFilters), exact cosine within, local top-k."""
+    lists = ivf_probe_lists(query_vec, centroids, nprobe)
+    df = spark.read.parquet(index_path).filter(F.col("list_id").isin(lists))
+    return (
+        cosine_scores(df, query_vec, vec_col)
+        .select(id_col, "list_id", "cosine")
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-row norm/dim plus corpus aggregates — the sanity profile."""
     per_row = df.withColumns(
