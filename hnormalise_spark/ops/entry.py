@@ -676,6 +676,82 @@ def _oracle_multimodal() -> str:
     """
 
 
+RESIZE_W, RESIZE_H = 64, 48
+
+
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Image resize plumbing: JVM-side kind filter → Arrow-batched
+    mapInPandas rewriting payload + dimensions (stub resample — the
+    output payload is the deterministic leading slice, re-derived from
+    the md5 hex in the oracle)."""
+    from hnormalise_spark.ops import multimodal as M
+
+    media = M.synth_media(spark, N_MEDIA)
+    rs = M.resize_images(media, RESIZE_W, RESIZE_H)
+    return rs.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes_out").cast("long").alias("n_bytes_out"),
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
+def _oracle_multimodal_resize() -> str:
+    area = float(RESIZE_W * RESIZE_H)
+    return f"""
+    WITH m AS (SELECT range AS id FROM range({N_MEDIA}) WHERE range % 3 = 0),
+    g AS (SELECT id, md5(id::VARCHAR) AS d,
+                 (id % 640 + 1) AS w, (id % 480 + 1) AS h FROM m),
+    k AS (SELECT id, d,
+                 greatest(1, floor(16 * least(1.0, {area!r} / (w * h)))::BIGINT) AS nb
+          FROM g)
+    SELECT printf('m-%06d', id) AS media_id,
+           {RESIZE_W}::INT AS width, {RESIZE_H}::INT AS height,
+           nb AS n_bytes_out,
+           upper(substr(d, 1, (2 * nb)::INT)) AS payload_hex
+    FROM k
+    """
+
+
+FRAME_EVERY_MS = 25
+
+
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing: row-exploding mapInPandas — one row
+    per sampled timestamp per audio/video payload (stub frame decode:
+    a sliding byte window, re-derived from the md5 hex in SQL)."""
+    from hnormalise_spark.ops import multimodal as M
+
+    media = M.synth_media(spark, N_MEDIA)
+    fr = M.frame_sample(media, FRAME_EVERY_MS)
+    return fr.select(
+        "media_id",
+        "kind",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("t_ms").cast("long").alias("t_ms"),
+        F.hex(F.col("frame_payload")).alias("frame_hex"),
+    )
+
+
+def _oracle_multimodal_frames() -> str:
+    # payload is 16 md5 bytes; slice_bytes=4 -> offset span = 13
+    return f"""
+    WITH m AS (SELECT range AS id FROM range({N_MEDIA}) WHERE range % 3 != 0),
+    g AS (SELECT id, md5(id::VARCHAR) AS d,
+                 (id % 60000)::BIGINT AS dur,
+                 CASE WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+          FROM m),
+    fr AS (SELECT id, d, kind, unnest(generate_series(0, (dur // {FRAME_EVERY_MS})::INT)) AS i
+           FROM g)
+    SELECT printf('m-%06d', id) AS media_id, kind,
+           i::INT AS frame_idx,
+           (i * {FRAME_EVERY_MS})::BIGINT AS t_ms,
+           upper(substr(d, (2 * (i % 13) + 1)::INT, 8)) AS frame_hex
+    FROM fr
+    """
+
+
 # ---------------------------------------------------------------------------
 # tokenized-input round trip (BASELINE.json input_hint invariant)
 
@@ -759,6 +835,8 @@ def queries():
         "similarity_ivf": q_similarity_ivf,
         "embedding_neardup": q_embedding_neardup,
         "multimodal_features": q_multimodal,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "tokens_roundtrip": q_tokens_roundtrip,
     }
 
@@ -777,5 +855,7 @@ def oracle_sql():
         "similarity_ivf": _oracle_similarity_ivf(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "multimodal_features": _oracle_multimodal(),
+        "multimodal_resize": _oracle_multimodal_resize(),
+        "multimodal_frames": _oracle_multimodal_frames(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
     }

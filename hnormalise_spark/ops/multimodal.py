@@ -91,3 +91,96 @@ def synth_media(spark, n_rows: int = 100) -> DataFrame:
         F.when(F.col("id") % 3 != 0, (F.col("id") % 60000).cast("long")).alias("duration_ms"),
     )
     return df
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes_out", LongType(), False),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize plumbing: filter to image rows JVM-side (column pruning +
+    predicate pushdown keep non-image partitions unread), then an
+    Arrow-batched mapInPandas rewrites payload + dimension metadata.
+    The pixel work is the documented STUB (no codecs in the container):
+    the fake 'resampled' payload is the leading ceil(bytes*scale) of
+    the original, scale = min(1, out_area/in_area) — deterministic and
+    re-derivable in SQL. Swap the body for PIL `Image.resize` and the
+    schema, batching, and partitioning stay as-is."""
+    area = float(out_w * out_h)
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            scale = (area / (pdf["width"] * pdf["height"])).clip(upper=1.0)
+            payloads = []
+            for b, s in zip(pdf["payload"], scale):
+                b = bytes(b)
+                k = max(1, int(len(b) * s))
+                payloads.append(b[:k])  # STUB resample
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": out_w,
+                    "height": out_h,
+                    "n_bytes_out": [len(p) for p in payloads],
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(rs, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_ms: int, slice_bytes: int = 4) -> DataFrame:
+    """Frame sampling plumbing: one output row per sampled timestamp
+    (0, every_ms, 2*every_ms, ... <= duration_ms) — the row-exploding
+    shape a real video sampler has, expressed as mapInPandas so the
+    per-frame decode runs where the bytes live. The frame DECODE is the
+    documented STUB: frame i's payload is a slice_bytes window of the
+    source payload at offset i mod (len - slice_bytes + 1). Rows
+    without a duration (images) are dropped JVM-side before the UDF."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "frame_idx", "t_ms", "frame_payload")}
+            for mid, kind, b, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                b = bytes(b)
+                span = max(1, len(b) - slice_bytes + 1)
+                for i in range(int(dur) // every_ms + 1):
+                    off = i % span
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["frame_idx"].append(i)
+                    out["t_ms"].append(i * every_ms)
+                    out["frame_payload"].append(b[off : off + slice_bytes])  # STUB decode
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="object"),
+                    "kind": pd.Series(out["kind"], dtype="object"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "t_ms": pd.Series(out["t_ms"], dtype="int64"),
+                    "frame_payload": pd.Series(out["frame_payload"], dtype="object"),
+                }
+            )
+
+    return df.filter(F.col("duration_ms").isNotNull()).mapInPandas(fs, FRAME_SCHEMA)
