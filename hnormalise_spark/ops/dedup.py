@@ -499,3 +499,105 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "_b", "cosine")
         .withColumnRenamed("_b", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs -> cluster assignment
+#
+# The step after candidate generation in every production dedup
+# pipeline: near-dup PAIRS (from minhash_lsh_dedup / ngram_jaccard /
+# embedding_neardup_pairs) are edges of an undirected graph; a dedup
+# decision needs the CONNECTED COMPONENT (a~b, b~c => keep one of
+# {a,b,c}), not the pairs. Label = min node id reachable, so the
+# canonical (kept) doc per cluster is simply the one whose id equals
+# its cluster id.
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-label propagation (hash-to-min) over the undirected edge
+    set: every node repeatedly adopts the smallest label among itself
+    and its neighbours until a fixpoint. Returns (node, cluster_id).
+
+    Scale shape: each round is one shuffle-join of the (node, label)
+    frame against the edge list plus a min-aggregate — both keyed on
+    node ids, both AQE-planned; no all-pairs, no driver-side graph.
+    The edge frame is persisted once and reused every round.
+    Convergence is O(graph diameter) rounds; near-dup graphs are
+    dense clumps with tiny diameters (2-4 in practice), so the round
+    count stays small even at 10^12 edges. ``localCheckpoint`` every
+    few rounds truncates the lineage so the plan does not grow
+    superlinearly (the classic iterative-algorithm failure mode on
+    Spark). For adversarially long chains switch to the large-star/
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which converges in O(log n) rounds using
+    the same join/aggregate primitives.
+
+    The per-round convergence check is a single scalar aggregate
+    (count of changed labels) — a driver round-trip of one row, not a
+    collect of data.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.groupBy(F.col("s").alias("node"))
+        .agg(F.min("d").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("label"))
+        .localCheckpoint()
+    )
+    for it in range(max_iterations):
+        # each node offers its label to every neighbour; adopt the min
+        msgs = und.join(labels, und["s"] == labels["node"]).select(
+            F.col("d").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def assign_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Full-corpus cluster assignment: every row gets a cluster_id
+    (its component's min id; singletons cluster to themselves) and an
+    ``is_canonical`` flag — ``filter(is_canonical)`` IS the deduped
+    corpus. The label frame is far smaller than the corpus (only
+    nodes that appear in a pair), so the join broadcasts when small
+    and hash-joins on the id key otherwise."""
+    labels = connected_components(edges, src_col, dst_col)
+    out = df.join(labels, df[id_col] == labels["node"], "left")
+    cluster = F.coalesce(labels["cluster_id"], df[id_col])
+    return out.select(
+        df["*"],
+        cluster.alias("cluster_id"),
+        (cluster == df[id_col]).alias("is_canonical"),
+    )

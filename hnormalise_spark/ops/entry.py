@@ -540,7 +540,10 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _oracle_embedding_neardup() -> str:
+def _neardup_pairs_cte() -> str:
+    """The shared s/p CTE text re-deriving the LSH-bucketed cosine
+    pairs in SQL — used by both the neardup oracle and the cluster
+    oracle (which takes the transitive closure of these pairs)."""
     planes = _planes(NEARDUP_PLANES, EMB_DIM)
     plane_dots = [
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), i -> embedding[i]::DOUBLE * "
@@ -556,14 +559,59 @@ def _oracle_embedding_neardup() -> str:
         "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
     )
     nrm = "sqrt(list_sum(list_transform({}.embedding, x -> x::DOUBLE * x::DOUBLE)))"
-    return f"""
-    WITH s AS (SELECT vec_id, embedding, {sketch} AS bucket FROM embeddings),
+    return f"""s AS (SELECT vec_id, embedding, {sketch} AS bucket FROM embeddings),
     p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
             {pair_dot} / ({nrm.format('a')} * {nrm.format('b')}) AS cos
-          FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+          FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)"""
+
+
+def _oracle_embedding_neardup() -> str:
+    return f"""
+    WITH {_neardup_pairs_cte()}
     SELECT id_a, id_b, bucket,
            floor(cos * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
     FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}
+    """
+
+
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → connected components → full-corpus cluster
+    assignment: the decision step of a dedup pipeline (a~b, b~c ⇒
+    keep one of {a,b,c}). Min-label propagation, one id-keyed
+    join+min-aggregate per round, converging in O(diameter) rounds;
+    ``is_canonical`` marks the kept row per cluster."""
+    from hnormalise_spark.ops import dedup as D
+
+    emb = spread_to_cores(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    pairs = D.embedding_neardup_pairs(
+        emb, EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES
+    )
+    out = D.assign_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("is_canonical").alias("is_canonical"),
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    """Transitive closure of the near-dup pairs via recursive CTE,
+    cluster id = min reachable node — singletons cluster to
+    themselves (LEFT JOIN + coalesce)."""
+    return f"""
+    WITH RECURSIVE {_neardup_pairs_cte()},
+    e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}
+          UNION SELECT id_b, id_a FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}),
+    reach AS (
+      SELECT src AS node, dst AS r FROM e
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+    ),
+    lab AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           coalesce(lab.cluster_id, v.vec_id) AS cluster_id,
+           (coalesce(lab.cluster_id, v.vec_id) = v.vec_id) AS is_canonical
+    FROM embeddings v LEFT JOIN lab ON v.vec_id = lab.node
     """
 
 
@@ -634,6 +682,48 @@ def _oracle_similarity_ivf() -> str:
                  * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
     FROM embeddings e JOIN asg a ON e.vec_id = a.vec_id
     WHERE a.list_id IN (SELECT c_id FROM pl)
+    """
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (ops.sampling)
+
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+SPLIT_BOUNDS = {"train": (0.0, 0.9), "holdout": (0.9, 1.0)}
+
+
+def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling + train/holdout split over
+    the documents table: keep rate per language, split by disjoint
+    hash intervals. Pure per-row projections — no shuffle, no RNG
+    state; identical subsets on every engine, run, and partitioning."""
+    from hnormalise_spark.ops import sampling as S
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = S.stratified_hash_sample(docs, SAMPLE_RATES, "lang", "doc_id")
+    out = S.hash_split(kept, SPLIT_BOUNDS, "doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "split",
+    )
+
+
+def _oracle_sample_split() -> str:
+    span = float(1 << 60)
+    rate = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in SAMPLE_RATES.items()
+    ) + " ELSE 0.0 END"
+    split = "CASE " + " ".join(
+        f"WHEN u >= {lo!r} AND u < {hi!r} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    ) + " END"
+    return f"""
+    WITH h AS (SELECT doc_id, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT / {span!r} AS u
+               FROM documents)
+    SELECT doc_id, lang, {split} AS split
+    FROM h WHERE u < {rate}
     """
 
 
@@ -834,6 +924,8 @@ def queries():
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
         "similarity_ivf": q_similarity_ivf,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_split": q_sample_split,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -854,6 +946,8 @@ def oracle_sql():
         "similarity_ann_multiprobe": _oracle_similarity_ann_multiprobe(),
         "similarity_ivf": _oracle_similarity_ivf(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "sample_split": _oracle_sample_split(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),

@@ -1,0 +1,73 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+``df.sample()`` is engine- and partitioning-dependent (Bernoulli per
+row with a per-partition seeded RNG), so two runs — or Spark vs any
+other engine — keep different rows. Training pipelines need the
+OPPOSITE: a sample that is a pure function of the row key, so that
+re-runs, backfills, and downstream joins all see the same subset, and
+so a holdout carved today stays disjoint from a training set carved
+next month. The standard trick is key-hash thresholding: keep a row
+iff ``hash(key) / 2^64 < rate``.
+
+Scale shape: one projection + filter per row, no shuffle, pushed down
+to the scan when the key is a stored column. The hash is md5-derived
+(like every fingerprint in this repo) so a DuckDB oracle re-derives
+the exact subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# the first 15 hex digits of md5 (60 bits) as a non-negative long —
+# 15 digits keep conv() inside the positive long range
+_HASH_SPAN = float(1 << 60)
+
+
+def key_hash_unit(key: Column) -> Column:
+    """Uniform [0, 1) value derived from the key: first 60 bits of
+    md5(key) scaled to the unit interval. Engine-portable (md5 is
+    md5 everywhere) and independent of partitioning."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(_HASH_SPAN)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
+    """Keep rows whose key hashes below ``rate`` — a deterministic,
+    re-runnable ~rate sample. Disjoint splits come from disjoint
+    intervals: train = [0, 0.9), holdout = [0.9, 1.0) — see
+    ``hash_split``."""
+    return df.filter(key_hash_unit(F.col(key_col)) < F.lit(float(rate)))
+
+
+def hash_split(df: DataFrame, bounds: dict[str, tuple[float, float]], key_col: str) -> DataFrame:
+    """Label every row with its split by hash interval, e.g.
+    ``{"train": (0.0, 0.9), "holdout": (0.9, 1.0)}``. Intervals are
+    half-open; rows outside every interval get NULL. One projection,
+    no shuffle, stable across runs and engines."""
+    u = key_hash_unit(F.col(key_col))
+    expr = None
+    for name, (lo, hi) in bounds.items():
+        cond = (u >= F.lit(float(lo))) & (u < F.lit(float(hi)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def stratified_hash_sample(
+    df: DataFrame, rates: dict[str, float], stratum_col: str, key_col: str
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. keep 10% of crawl
+    docs but 100% of curated docs. ``rates`` maps stratum value →
+    keep rate; absent strata default to 0 (dropped). The rate lookup
+    compiles to a literal CASE (a broadcast join for a very large
+    strata map would work the same way); the filter stays a
+    shuffle-free per-row predicate."""
+    u = key_hash_unit(F.col(key_col))
+    rate = None
+    for value, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.filter(u < rate)
