@@ -728,6 +728,87 @@ def _oracle_sample_split() -> str:
 
 
 # ---------------------------------------------------------------------------
+# time-series analytics (ops.timeseries)
+
+SESSION_GAP_S = 1800
+
+
+def q_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly tumbling rollup per event type + trailing-3-bucket
+    moving sum. Values are integer-cents so every aggregate is exact
+    integer arithmetic (float sums are order-dependent across
+    engines); the avg is one double division of exact operands."""
+    from hnormalise_spark.ops import timeseries as T
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    r = T.rollup(ev, value_col="cents", bucket="1 hour", trailing=3)
+    return r.select(
+        "key",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("long").alias("sum_cents"),
+        F.floor(F.col("value_sum") * 10000.0 / F.col("n_events") + F.lit(0.5))
+        .cast("long")
+        .alias("avg_cents_x1e4"),
+        F.col("moving_sum").cast("long").alias("moving_sum_cents"),
+    )
+
+
+def _oracle_events_rollup() -> str:
+    return """
+    WITH c AS (SELECT event_type AS key, date_trunc('hour', ts) AS b,
+                      floor(value * 100 + 0.5)::BIGINT AS cents
+               FROM events),
+    agg AS (SELECT key, b, count(*) AS n_events, sum(cents) AS sum_cents
+            FROM c GROUP BY 1, 2)
+    SELECT key, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n_events, sum_cents,
+           floor(sum_cents * 10000.0 / n_events + 0.5)::BIGINT AS avg_cents_x1e4,
+           sum(sum_cents) OVER (PARTITION BY key ORDER BY b
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS moving_sum_cents
+    FROM agg
+    """
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization: a user's session breaks after a
+    30-minute silence. lag + cumulative-sum windows over integer
+    microseconds; one shuffle on the user key."""
+    from hnormalise_spark.ops import timeseries as T
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = T.sessionize(ev, gap_seconds=SESSION_GAP_S)
+    return s.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+    )
+
+
+def _oracle_events_sessionize() -> str:
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+    WITH o AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM o
+    """
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
 
 N_MEDIA = 200
@@ -926,6 +1007,8 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "sample_split": q_sample_split,
+        "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -948,6 +1031,8 @@ def oracle_sql():
         "embedding_neardup": _oracle_embedding_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "sample_split": _oracle_sample_split(),
+        "events_rollup": _oracle_events_rollup(),
+        "events_sessionize": _oracle_events_sessionize(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),

@@ -97,6 +97,11 @@ def get_spark(
         # Arrow for the pandas-UDF stages (tokenizer, golden encoder).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # Pin the session timezone: deterministic instant<->string
+        # rendering and NTZ casts regardless of the host's zone (the
+        # envelope keeps the original RFC3339 string, so byte goldens
+        # do not depend on this either way).
+        "spark.sql.session.timeZone": "UTC",
         # Duplicate keys in a malformed KV body: keep a deterministic
         # winner instead of failing the job (reference behaviour is
         # positional; duplicates are pathological either way).
