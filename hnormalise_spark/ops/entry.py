@@ -815,6 +815,42 @@ def _oracle_events_sessionize() -> str:
     """
 
 
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every event picks up the same user's most recent
+    purchase at-or-before it (inclusive). Spark has no native as-of
+    join; ops.timeseries.asof_join does the union + last-non-null
+    window composition — one shuffle on the user key, linear per
+    partition, no range-join candidate blowup. Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from hnormalise_spark.ops import timeseries as T
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = T.asof_join(ev, build, key_col="user_id", ts_col="ts",
+                    build_cols=("event_id", "value"))
+    return j.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id_asof").cast("long").alias("purchase_event_id"),
+        F.floor(F.col("value_asof") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("purchase_cents"),
+    )
+
+
+def _oracle_events_asof() -> str:
+    return """
+    SELECT p.event_id, p.user_id,
+           b.event_id AS purchase_event_id,
+           floor(b.value * 100 + 0.5)::BIGINT AS purchase_cents
+    FROM events p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (Arrow-batched mapInPandas over binary payloads)
 
@@ -1016,6 +1052,7 @@ def queries():
         "sample_split": q_sample_split,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
+        "events_asof": q_events_asof,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1040,6 +1077,7 @@ def oracle_sql():
         "sample_split": _oracle_sample_split(),
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
+        "events_asof": _oracle_events_asof(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),

@@ -95,6 +95,79 @@ def sessionize(
     ).drop("_brk")
 
 
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    build_cols: tuple[str, ...] = (),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: each probe row picks up the build row with the
+    greatest build.ts <= probe.ts for the same key (inclusive, the
+    DuckDB/kdb ASOF JOIN rule). Probe rows with no prior build row
+    keep nulls.
+
+    Spark has no native as-of join; the naive formulations are a
+    non-equi range join (O(n*m) candidate explosion per key) or a
+    per-key UDF (serial Python per group). This is the scale-correct
+    composition instead: tag and UNION both sides, then ONE window
+    over (key, ts) carrying the last non-null build value forward —
+    a single shuffle on the key, linear work per partition, no
+    candidate blowup regardless of how many build rows precede a
+    probe row. Build rows sort BEFORE probe rows at equal ts
+    (tag 0 < 1) which is exactly the inclusive <= semantics.
+
+    ``build_cols`` are the build-side payload columns to attach; they
+    are emitted as ``<name><suffix>`` plus ``<ts_col><suffix>`` for
+    the matched build timestamp.
+    """
+    if not build_cols:
+        build_cols = tuple(
+            c for c in build.columns if c not in (key_col, ts_col)
+        )
+    b = build.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(ts_col).alias(f"_b_{ts_col}"),
+        *[F.col(c).alias(f"_b_{c}") for c in build_cols],
+        *[
+            F.lit(None).cast(dict(probe.dtypes)[c]).alias(f"_p_{c}")
+            for c in probe.columns
+        ],
+    )
+    p = probe.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(dict(build.dtypes)[ts_col]).alias(f"_b_{ts_col}"),
+        *[
+            F.lit(None).cast(dict(build.dtypes)[c]).alias(f"_b_{c}")
+            for c in build_cols
+        ],
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = b.unionByName(p).select(
+        "*",
+        F.last(f"_b_{ts_col}", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        *[
+            F.last(f"_b_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in build_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        F.col(f"{ts_col}{suffix}"),
+        *[F.col(f"{c}{suffix}") for c in build_cols],
+    )
+
+
 def session_stats(
     df: DataFrame,
     ts_col: str = "ts",

@@ -74,3 +74,42 @@ def test_session_stats_span(spark):
     rows = {r["session_seq"]: r for r in T.session_stats(ev).collect()}
     assert rows[1]["n_events"] == 2 and rows[1]["span_seconds"] == 60
     assert rows[2]["n_events"] == 1 and rows[2]["span_seconds"] == 0
+
+
+def test_asof_join_inclusive_most_recent(spark):
+    # probe: user 1 events at t=10,20,30; user 2 at t=5
+    probe = _events(
+        spark,
+        [(1, 1, 10, "view", 0), (2, 1, 20, "view", 0), (3, 1, 30, "view", 0),
+         (4, 2, 5, "view", 0)],
+    )
+    # build: user 1 purchases at t=10 (equal ts -> inclusive match),
+    # t=25; user 2 has none
+    build = _events(
+        spark, [(100, 1, 10, "purchase", 9.5), (101, 1, 25, "purchase", 2.0)]
+    ).select("user_id", "ts", "event_id", "value")
+    got = {
+        r["event_id"]: (r["event_id_asof"], r["value_asof"])
+        for r in T.asof_join(
+            probe, build, build_cols=("event_id", "value")
+        ).collect()
+    }
+    assert got[1] == (100, 9.5)   # equal ts matches (inclusive <=)
+    assert got[2] == (100, 9.5)   # most recent prior, not any prior
+    assert got[3] == (101, 2.0)   # advances past newer build row
+    assert got[4] == (None, None) # no build row for the key -> nulls
+
+
+def test_asof_join_keeps_all_probe_rows_and_columns(spark):
+    probe = _events(spark, [(1, 1, 10, "view", 3.0), (2, 3, 9, "err", 4.0)])
+    build = _events(spark, [(50, 1, 1, "purchase", 1.0)]).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = T.asof_join(probe, build, build_cols=("event_id",))
+    assert out.count() == 2
+    r = {x["event_id"]: x for x in out.collect()}
+    # original probe columns survive untouched
+    assert r[1]["event_type"] == "view" and r[1]["value"] == 3.0
+    assert r[1]["event_id_asof"] == 50 and r[2]["event_id_asof"] is None
+    # matched build timestamp is exposed as ts_asof
+    assert r[1]["ts_asof"] is not None and r[2]["ts_asof"] is None
