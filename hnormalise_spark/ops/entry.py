@@ -815,6 +815,49 @@ def _oracle_events_sessionize() -> str:
     """
 
 
+BM25_TERMS = ["merge", "stream", "vector"]
+BM25_K = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval over documents: explode + filter-to-
+    query-terms (the posting-list analogue), one (doc, term) tf
+    shuffle, broadcast df/corpus stats, integer-rounded per-term
+    contributions summed per doc, TakeOrdered top-k."""
+    from hnormalise_spark.ops import textops as X
+
+    docs = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
+    return X.bm25_topk(docs, BM25_TERMS, k=BM25_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_x1e6").cast("long").alias("score_x1e6"),
+    )
+
+
+def _oracle_bm25_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS dl,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    ex AS (SELECT doc_id, dl, unnest(toks) AS term FROM lens),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex
+           WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    st AS (SELECT count(*) AS n, sum(dl) AS totlen FROM lens),
+    sc AS (SELECT tf.doc_id,
+                  floor(ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                          / (st.totlen::DOUBLE / st.n)))
+                        * 1000000.0 + 0.5)::BIGINT AS c
+           FROM tf JOIN dfq USING (term) CROSS JOIN st)
+    SELECT doc_id, sum(c)::BIGINT AS score_x1e6 FROM sc GROUP BY 1
+    ORDER BY score_x1e6 DESC, doc_id LIMIT {BM25_K}
+    """
+
+
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: every event picks up the same user's most recent
     purchase at-or-before it (inclusive). Spark has no native as-of
@@ -1053,6 +1096,7 @@ def queries():
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "bm25_topk": q_bm25_topk,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1078,6 +1122,7 @@ def oracle_sql():
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),
+        "bm25_topk": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),

@@ -109,3 +109,88 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k keyword retrieval, inverted-index shaped.
+
+    Plan: tokenize -> explode -> FILTER TO THE QUERY TERMS before any
+    shuffle (so the exploded frame carries |terms|-matching tokens
+    only, the distributed analogue of posting-list lookup) -> one
+    (doc, term) count shuffle for tf -> term df + corpus stats as two
+    tiny broadcast sides -> per-term contribution -> per-doc sum ->
+    TakeOrderedAndProject for the top k (per-partition heaps, no
+    global sort). At real scale the explode+filter pass is what an
+    inverted-index build materializes once; everything downstream is
+    unchanged.
+
+    Cross-engine determinism: each per-term contribution is rounded
+    to integer micro-units BEFORE the per-doc sum, so the sum is
+    integer arithmetic (float sums are shuffle-order-dependent; the
+    DuckDB oracle replays the same per-term rounding). Returns
+    (doc_id, score_x1e6) ordered by score desc, doc_id asc.
+    """
+    terms = sorted(set(query_terms))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lens = df.select(
+        F.col(id_col).alias("_doc"), F.size(toks).alias("_len"), toks.alias("_toks")
+    )
+    exploded = lens.select(
+        "_doc", "_len", F.explode("_toks").alias("_term")
+    ).filter(F.col("_term").isin(terms))
+    tf = exploded.groupBy("_doc", "_len", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_len").alias("_totlen")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_contrib",
+            F.col("_idf")
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("_len")
+                    / (F.col("_totlen").cast("double") / F.col("_n"))
+                )
+            ),
+        )
+        .withColumn(
+            "_contrib_x1e6",
+            F.floor(F.col("_contrib") * F.lit(1000000.0) + F.lit(0.5)).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("_doc").alias(id_col))
+        .agg(F.sum("_contrib_x1e6").alias("score_x1e6"))
+        .orderBy(F.desc("score_x1e6"), F.col(id_col))
+        .limit(k)
+    )
