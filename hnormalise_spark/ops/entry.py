@@ -815,6 +815,50 @@ def _oracle_events_sessionize() -> str:
     """
 
 
+def q_events_session_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session aggregates over the gap-sessionized events: count,
+    first/last timestamps, span — the sessionize frame reduced one
+    more level (the second aggregate shares the user-key shuffle)."""
+    from hnormalise_spark.ops import timeseries as T
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = T.session_stats(ev, gap_seconds=SESSION_GAP_S)
+    return s.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.date_format("t_first", "yyyy-MM-dd HH:mm:ss").alias("t_first"),
+        F.date_format("t_last", "yyyy-MM-dd HH:mm:ss").alias("t_last"),
+        F.col("span_seconds").cast("long").alias("span_seconds"),
+    )
+
+
+def _oracle_events_session_stats() -> str:
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, session_seq, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_first,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_last,
+           epoch(date_trunc('second', max(ts)))::BIGINT
+             - epoch(date_trunc('second', min(ts)))::BIGINT AS span_seconds
+    FROM s GROUP BY 1, 2
+    """
+
+
 BM25_TERMS = ["merge", "stream", "vector"]
 BM25_K = 20
 
@@ -1096,6 +1140,7 @@ def queries():
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
+        "events_session_stats": q_events_session_stats,
         "bm25_topk": q_bm25_topk,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
@@ -1122,6 +1167,7 @@ def oracle_sql():
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),
+        "events_session_stats": _oracle_events_session_stats(),
         "bm25_topk": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),

@@ -156,3 +156,44 @@ def windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessions(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    key_col: str = "source",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """Watermarked session-window aggregation over the token stream:
+    Spark's native ``session_window`` merges events into dynamic
+    per-key windows that close after ``gap`` of silence — the
+    streaming counterpart of ops.timeseries.sessionize (which is the
+    batch/backfill formulation of the same rule). State per open
+    session is bounded by the watermark; closed sessions emit in
+    append mode exactly once per trigger."""
+    stream = read_token_stream(spark, in_dir)
+    parsed = normalise_tokens(stream)
+    agg = (
+        parsed.withWatermark("timereported", watermark)
+        .groupBy(
+            F.session_window("timereported", gap).alias("session"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session")["start"].alias("session_start"),
+            F.col("session")["end"].alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -203,3 +203,49 @@ def test_windowed_counts_drops_late_rows(spark, corpus_dir, tmp_path):
     q2.awaitTermination(300)
     n_after = spark.read.parquet(wc_path).agg(F.sum("n")).collect()[0][0]
     assert n_after == n_before
+
+
+# ---------------------------------------------------------------------------
+# streaming session windows (native session_window, watermarked)
+
+
+def test_streaming_sessions_match_batch_sessionize(spark, corpus_dir, tmp_path):
+    """The streaming session_window aggregation must agree with the
+    batch gap rule (ops.timeseries.sessionize) on every CLOSED
+    session: same (source, session_start, n_events) triples."""
+    from hnormalise_spark.ops import timeseries as T
+
+    out = str(tmp_path / "sess")
+    q = streaming.streaming_sessions(
+        spark, corpus_dir, out, key_col="source", gap="3 minutes", watermark="10 minutes"
+    )
+    q.awaitTermination(300)
+    emitted = spark.read.parquet(os.path.join(out, "sessions"))
+
+    batch = P.normalise_tokens(spark.read.parquet(corpus_dir))
+    ts = F.col("timereported")
+    stamped = batch.filter(ts.isNotNull())
+    sess = T.sessionize(stamped, ts_col="timereported", user_col="source", gap_seconds=180)
+    per = sess.groupBy("source", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("timereported").alias("start"),
+        F.max("timereported").alias("last"),
+    )
+    wm = stamped.agg(F.max(ts) - F.expr("INTERVAL 10 MINUTES")).collect()[0][0]
+    closed = per.filter(
+        F.col("last") + F.expr("INTERVAL 3 MINUTES") <= F.lit(wm)
+    )
+
+    got = {
+        (r["source"], r["session_start"], r["n_events"])
+        for r in emitted.collect()
+    }
+    want = {
+        (r["source"], r["start"], r["n_events"]) for r in closed.collect()
+    }
+    assert got == want and len(got) > 10
+    # session_window end = last event + gap
+    spans = {r["session_start"]: r["session_end"] for r in emitted.collect()}
+    lasts = {r["start"]: r["last"] for r in closed.collect()}
+    for s, e in spans.items():
+        assert (e - lasts[s]).total_seconds() == 180.0
