@@ -197,3 +197,85 @@ def streaming_sessions(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    max_files: int = 16,
+) -> StreamingQuery:
+    """Streaming exact-dedup with CUSTOM state (applyInPandasWithState):
+    the first row of every fingerprint is emitted, every later
+    occurrence — in the same micro-batch OR any later one — is
+    suppressed. This is the stateful operator Spark's built-ins cannot
+    express (dropDuplicates' state cannot report the kept row's
+    payload + a running duplicate count, and built-in windows cannot
+    keep arbitrary per-key values).
+
+    Scale shape: state is keyed by the 32-hex md5 fingerprint, so the
+    stateful shuffle is on a fixed-width skew-immune key and per-key
+    state is ~50 bytes (first doc_id + count). At 100 TB, bound the
+    state store with a watermark + GroupStateTimeout.EventTimeTimeout
+    (drop fingerprints not seen for N days); the sandbox test drives
+    the NoTimeout variant through multiple micro-batches to prove
+    cross-batch suppression.
+    """
+    import pandas as pd
+
+    from hnormalise_spark.ops.dedup import normalized_text
+
+    stream = read_token_stream(spark, in_dir, max_files=max_files)
+    from hnormalise_spark.tokenizer import detokenize_col
+
+    rows = stream.select(
+        "doc_id",
+        detokenize_col(F.col("tokens")).alias("raw"),
+    ).select(
+        "doc_id", "raw", F.md5(normalized_text(F.col("raw"))).alias("fingerprint")
+    )
+
+    out_schema = "fingerprint string, doc_id string, raw string, n_batch_dups long"
+    state_schema = "n_seen long"
+
+    def dedup_fn(key, pdf_iter, state):
+        (fp,) = key
+        seen = state.get[0] if state.exists else 0
+        # keep the MIN doc_id of the first batch the fingerprint
+        # appears in — arrival order inside a micro-batch is not
+        # deterministic, min is
+        first_row = None
+        n_new = 0
+        for pdf in pdf_iter:
+            if seen == 0 and len(pdf):
+                i = pdf["doc_id"].astype(str).idxmin()
+                cand = (str(pdf["doc_id"][i]), pdf["raw"][i])
+                if first_row is None or cand[0] < first_row[0]:
+                    first_row = cand
+            n_new += len(pdf)
+        state.update((seen + n_new,))
+        if seen == 0 and first_row is not None:
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [fp],
+                    "doc_id": [first_row[0]],
+                    "raw": [first_row[1]],
+                    "n_batch_dups": [n_new - 1],
+                }
+            )
+
+    deduped = rows.groupBy("fingerprint").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -249,3 +249,48 @@ def test_streaming_sessions_match_batch_sessionize(spark, corpus_dir, tmp_path):
     lasts = {r["start"]: r["last"] for r in closed.collect()}
     for s, e in spans.items():
         assert (e - lasts[s]).total_seconds() == 180.0
+
+
+# ---------------------------------------------------------------------------
+# custom stateful streaming op: exact dedup via applyInPandasWithState
+
+
+def test_streaming_dedup_suppresses_across_microbatches(spark, tmp_path):
+    """Duplicates must be suppressed within a micro-batch AND across
+    micro-batches (the custom state part built-ins cannot express:
+    keeping the kept row's payload + a running duplicate count)."""
+    from hnormalise_spark.tokenizer import tokenize_pandas
+
+    src = str(tmp_path / "src")
+    # 3 single-row-group files -> with max_files=1, 3 micro-batches.
+    # 'alpha beta' appears in batches 1 and 3 (cross-batch dup) and
+    # twice in batch 1 (in-batch dup); 'gamma' only in batch 2.
+    batches = [
+        [("d1", "alpha beta"), ("d0", "alpha beta"), ("d2", "unique one")],
+        [("d3", "gamma delta")],
+        [("d4", "alpha beta"), ("d5", "gamma delta")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id string, raw string")
+        df.select(
+            "doc_id",
+            tokenize_pandas(F.col("raw")).alias("tokens"),
+            F.lit(2).alias("n_tok"),
+            F.lit("test").alias("source"),
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "dd")
+    q = streaming.streaming_dedup(spark, src, out, max_files=1)
+    q.awaitTermination(300)
+
+    got = {
+        r["raw"]: (r["doc_id"], r["n_batch_dups"])
+        for r in spark.read.parquet(os.path.join(out, "deduped")).collect()
+    }
+    # each distinct text emitted exactly once, min doc_id of its first
+    # batch kept, in-batch duplicate counted; later batches suppressed
+    assert set(got) == {"alpha beta", "unique one", "gamma delta"}
+    kept_alpha = got["alpha beta"]
+    assert kept_alpha[0] == "d0" and kept_alpha[1] == 1
+    assert got["unique one"] == ("d2", 0)
+    assert got["gamma delta"][1] == 0
