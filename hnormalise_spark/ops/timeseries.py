@@ -126,6 +126,13 @@ def asof_join(
         build_cols = tuple(
             c for c in build.columns if c not in (key_col, ts_col)
         )
+    # a null-ts build row would sort FIRST under the window and be
+    # carried into every probe row before the first real build row
+    # (ASOF semantics: no match); null keys must not match null keys
+    # either (SQL equality). Drop both from the build side.
+    build = build.filter(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     b = build.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_t"),

@@ -113,3 +113,32 @@ def test_asof_join_keeps_all_probe_rows_and_columns(spark):
     assert r[1]["event_id_asof"] == 50 and r[2]["event_id_asof"] is None
     # matched build timestamp is exposed as ts_asof
     assert r[1]["ts_asof"] is not None and r[2]["ts_asof"] is None
+
+
+def test_asof_join_ignores_null_ts_build_rows(spark):
+    import datetime as dt
+
+    probe = _events(spark, [(1, 1, 0, "view", 0), (2, 1, 7200, "view", 0)])
+    build = spark.createDataFrame(
+        [(9, 1, None, 5.0), (10, 1, T0 + dt.timedelta(hours=1), 7.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    ).select("user_id", "ts", "event_id", "value")
+    got = {
+        r["event_id"]: r["event_id_asof"]
+        for r in T.asof_join(probe, build, build_cols=("event_id",)).collect()
+    }
+    # the null-ts build row must match NOTHING (ASOF semantics);
+    # before the fix it was carried into every early probe row
+    assert got == {1: None, 2: 10}
+
+
+def test_sessionize_null_ts_rows_do_not_corrupt_real_chain(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, T0, "a", 1.0), (2, 1, None, "a", 1.0),
+         (3, 1, T0 + __import__("datetime").timedelta(hours=2), "a", 1.0)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    got = {r["event_id"]: r["session_seq"] for r in T.sessionize(ev).collect()}
+    # null-ts rows take their own session slot; the real events still
+    # split on the 2h gap (> 30min) and stay ordered
+    assert got[3] == got[1] + 1 and got[2] not in (got[1], got[3])
