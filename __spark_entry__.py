@@ -476,6 +476,51 @@ def _oracle_route_counts() -> str:
     """
 
 
+def q_route_counts_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-level counts reporting: ROLLUP over (source, parser,
+    parse_ok) — per-parser, per-source, and grand-total rows in ONE
+    aggregation pass (Spark plans rollup as a single expand+hash-agg,
+    not three scans). grouping_id disambiguates rolled-up nulls from
+    the genuine null parser of failure rows."""
+    base = q_route_counts(spark, sf)
+    gid = F.grouping_id()
+    r = base.rollup("source", "parser", "parse_ok").agg(
+        gid.alias("gid"), F.sum("n").alias("n")
+    )
+    return r.select(
+        F.col("gid").cast("long").alias("gid"),
+        F.when(F.col("gid").bitwiseAND(4) > 0, F.lit("(all)"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.when(F.col("gid").bitwiseAND(2) > 0, F.lit("(all)"))
+        .otherwise(F.coalesce(F.col("parser"), F.lit("(none)")))
+        .alias("parser"),
+        F.when(F.col("gid").bitwiseAND(1) > 0, F.lit(-1))
+        .otherwise(F.col("parse_ok"))
+        .cast("long")
+        .alias("parse_ok"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def _oracle_route_counts_rollup() -> str:
+    return f"""
+    WITH base AS ({_oracle_route_counts()}),
+    r AS (
+      SELECT source, parser, parse_ok, sum(n)::BIGINT AS n,
+             GROUPING(source, parser, parse_ok) AS gid
+      FROM base GROUP BY ROLLUP(source, parser, parse_ok))
+    SELECT gid::BIGINT AS gid,
+           CASE WHEN (gid & 4) > 0 THEN '(all)' ELSE source END AS source,
+           CASE WHEN (gid & 2) > 0 THEN '(all)'
+                ELSE coalesce(parser, '(none)') END AS parser,
+           (CASE WHEN (gid & 1) > 0 THEN -1 ELSE parse_ok END)::BIGINT
+             AS parse_ok,
+           n
+    FROM r
+    """
+
+
 def q_walltime_memory(spark: SparkSession, sf: str) -> DataFrame:
     """T1+T2+T6: walltime/memory/cputime scalar conversions over
     lineitem-derived strings (all four walltime arities, all units &
@@ -776,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_shorewall": q_parse_shorewall,
         "envelope": q_envelope,
         "route_counts": q_route_counts,
+        "route_counts_rollup": q_route_counts_rollup,
         "walltime_memory": q_walltime_memory,
         "host_list": q_host_list,
         "enrich_broadcast": q_enrich_broadcast,
@@ -797,6 +843,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_shorewall": _oracle_shorewall(),
         "envelope": _oracle_envelope(),
         "route_counts": _oracle_route_counts(),
+        "route_counts_rollup": _oracle_route_counts_rollup(),
         "walltime_memory": _oracle_walltime_memory(),
         "host_list": _oracle_host_list(),
         "enrich_broadcast": _oracle_enrich(),
