@@ -39,15 +39,26 @@ _N_TCP, _N_UDP, _N_ICMP = 10, 9, 7  # groups incl. tail
 
 
 def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
+    # ``contains('PROTO=X')`` is a NECESSARY condition for each proto
+    # regex (the literal appears verbatim in the pattern), so gating
+    # on it is semantics-free — it only skips regex attempts that
+    # must fail. The win is the failing attempts: the TCP pattern's
+    # lazy ``(?s:.*?)`` gap backtracks across the whole line before
+    # failing on every UDP/ICMP row (2/3 of traffic), and a substring
+    # scan is ~20x cheaper than that.
     layer1 = {
-        "_sw_at": F.when(gate, C.packed_groups(msg, RE_TCP + _TAIL, _N_TCP)),
+        "_sw_at": F.when(
+            gate & msg.contains("PROTO=TCP"),
+            C.packed_groups(msg, RE_TCP + _TAIL, _N_TCP),
+        ),
     }
     layer2 = {
         "_sw_is_tcp": F.coalesce(C.packed_ok(F.col("_sw_at"), _N_TCP), F.lit(False)),
     }
     layer3 = {
         "_sw_au": F.when(
-            gate & ~F.col("_sw_is_tcp"), C.packed_groups(msg, RE_UDP + _TAIL, _N_UDP)
+            gate & ~F.col("_sw_is_tcp") & msg.contains("PROTO=UDP"),
+            C.packed_groups(msg, RE_UDP + _TAIL, _N_UDP),
         ),
     }
     layer4 = {
@@ -55,7 +66,10 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
     }
     layer5 = {
         "_sw_ai": F.when(
-            gate & ~F.col("_sw_is_tcp") & ~F.col("_sw_is_udp"),
+            gate
+            & ~F.col("_sw_is_tcp")
+            & ~F.col("_sw_is_udp")
+            & msg.contains("PROTO=ICMP"),
             C.packed_groups(msg, RE_ICMP + _TAIL, _N_ICMP),
         ),
     }
