@@ -1,0 +1,69 @@
+"""Physical-plan assertions for the round-3 operators: the scale
+shape (shuffle count, top-k strategy, partition pruning) is pinned,
+not just the results."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle(spark):
+    from hnormalise_spark.ops import timeseries as T
+
+    probe = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(9, 1, dt.datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    ).select("user_id", "ts", "event_id")
+    plan = _plan(T.asof_join(probe, build, build_cols=("event_id",)))
+    # union + one window over the key: exactly ONE Exchange, no join
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_topk_uses_takeordered(spark):
+    from hnormalise_spark.ops.textops import bm25_topk
+
+    docs = spark.createDataFrame([(1, "cat dog")], "doc_id long, text string")
+    plan = _plan(bm25_topk(docs, ["cat"], k=5))
+    # per-partition heaps + driver merge, never a global sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    # df + corpus stats attach map-side
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sessionize_is_single_shuffle(spark):
+    from hnormalise_spark.ops import timeseries as T
+
+    ev = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    plan = _plan(T.sessionize(ev))
+    # both windows share the user-key partitioning -> one Exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_ivf_probe_prunes_list_partitions(spark, tmp_path):
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    cents = S.build_ivf_index(emb, idx, stride=10)
+    probe = S.ivf_index_topk(spark, idx, [1.0, 0.5], cents, k=3, nprobe=1)
+    plan = _plan(probe)
+    # the probe must reach the scan as a partition filter (directory
+    # pruning), not a post-scan filter over all lists
+    assert "PartitionFilters: [" in plan
+    head = plan.split("PartitionFilters:")[1][:120]
+    assert "list_id" in head
+    assert probe.count() == 3
