@@ -185,10 +185,22 @@ def write_snapshot(
     return True
 
 
+def live_snapshots(table_path: str) -> list[dict]:
+    """Committed snapshots that have not been superseded by a
+    compaction, in commit order (= version order)."""
+    return [
+        s
+        for s in read_manifest(table_path)["snapshots"]
+        if not s.get("superseded_by")
+    ]
+
+
 def read_committed(spark: SparkSession, table_path: str) -> DataFrame:
-    """Union of all committed snapshots (uncommitted orphan dirs are
-    NOT read — commit-then-visible)."""
-    ids = committed_snapshot_ids(table_path)
+    """Union of all live committed snapshots (uncommitted orphan dirs
+    and compaction-superseded snapshots are NOT read —
+    commit-then-visible). The ``snapshot_id`` partition column is kept
+    on the rows (basePath read), so per-snapshot lineage survives."""
+    ids = [s["snapshot_id"] for s in live_snapshots(table_path)]
     if not ids:
         raise FileNotFoundError(f"no committed snapshots in {table_path}")
     paths = [snapshot_data_path(table_path, s) for s in ids]
@@ -201,3 +213,84 @@ def read_snapshot(spark: SparkSession, table_path: str, snapshot_id: str) -> Dat
     if not is_committed(table_path, snapshot_id):
         raise FileNotFoundError(f"snapshot {snapshot_id} not committed in {table_path}")
     return spark.read.parquet(snapshot_data_path(table_path, snapshot_id))
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert) = append snapshots + merge-on-read + compaction
+#
+# The Iceberg pattern: an upsert is just another committed snapshot
+# (write_snapshot), the LATEST version per key is resolved at read
+# time from the snapshot order (merge-on-read), and a compaction
+# materializes that resolution into one snapshot and retires the
+# inputs. Keys must be unique within one snapshot (each snapshot is
+# one batch's output); across snapshots, later commits win.
+
+
+def read_latest(spark: SparkSession, table_path: str, key_col: str) -> DataFrame:
+    """Merge-on-read: one row per key — the version from the latest
+    live snapshot that contains the key. Plan shape: the tiny
+    (snapshot_id -> commit sequence) map joins broadcast; the
+    per-key resolution is ONE window (max_by) over the key shuffle —
+    no per-snapshot scans, no iterative joins."""
+    from pyspark.sql import Window
+
+    snaps = live_snapshots(table_path)
+    seq = spark.createDataFrame(
+        [(s["snapshot_id"], i) for i, s in enumerate(snaps)],
+        "snapshot_id string, _seq long",
+    )
+    df = read_committed(spark, table_path).join(F.broadcast(seq), "snapshot_id")
+    w = Window.partitionBy(key_col).orderBy(F.col("_seq").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq", "snapshot_id")
+    )
+
+
+def compact(
+    spark: SparkSession, table_path: str, snapshot_id: str, key_col: str
+) -> bool:
+    """Materialize the merge-on-read view as ONE new snapshot and
+    retire (supersede) the inputs: readers flip from N-snapshot
+    resolution to a single compacted scan atomically at the manifest
+    commit. Returns False if ``snapshot_id`` is already committed
+    (resume no-op). Time-travel reads of superseded snapshots keep
+    working — their data dirs are never deleted here (a real
+    deployment garbage-collects them after a retention window)."""
+    if is_committed(table_path, snapshot_id):
+        return False
+    inputs = [s["snapshot_id"] for s in live_snapshots(table_path)]
+    latest = read_latest(spark, table_path, key_col)
+    if not write_snapshot(latest, table_path, snapshot_id, extra={"compaction_of": inputs}):
+        return False
+    _mark_superseded(table_path, inputs, snapshot_id)
+    return True
+
+
+def _mark_superseded(table_path: str, ids: list[str], by: str) -> None:
+    """Stamp ``superseded_by`` on manifest entries (same lock/atomic
+    swap as _commit_manifest)."""
+    d = os.path.dirname(_manifest_path(table_path))
+    lock = os.path.join(d, ".manifest.lock")
+    deadline = time.monotonic() + 10.0
+    while True:
+        try:
+            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"manifest lock {lock} held past 10s")
+            time.sleep(0.02)
+    try:
+        man = read_manifest(table_path)
+        for s in man["snapshots"]:
+            if s["snapshot_id"] in ids:
+                s["superseded_by"] = by
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.replace(tmp, _manifest_path(table_path))
+    finally:
+        os.close(lock_fd)
+        os.unlink(lock)
