@@ -482,7 +482,10 @@ def q_route_counts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     aggregation pass (Spark plans rollup as a single expand+hash-agg,
     not three scans). grouping_id disambiguates rolled-up nulls from
     the genuine null parser of failure rows."""
-    base = q_route_counts(spark, sf)
+    # the counts frame is ~15 rows; materialize it so the rollup's
+    # expand+agg plans over 15 rows instead of re-analyzing the whole
+    # parse DAG behind them (measured 10.9 s -> ~route_counts cost)
+    base = q_route_counts(spark, sf).localCheckpoint()
     gid = F.grouping_id()
     r = base.rollup("source", "parser", "parse_ok").agg(
         gid.alias("gid"), F.sum("n").alias("n")
