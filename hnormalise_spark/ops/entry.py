@@ -703,7 +703,10 @@ def q_sample_split(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified sampling + train/holdout split over
     the documents table: keep rate per language, split by disjoint
     hash intervals. Pure per-row projections — no shuffle, no RNG
-    state; identical subsets on every engine, run, and partitioning."""
+    state; identical subsets on every engine, run, and partitioning.
+    The split hash is salted ('|split') so it is independent of the
+    sampling hash — every stratum lands in the holdout at ~10%
+    regardless of its keep rate."""
     from hnormalise_spark.ops import sampling as S
 
     docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -722,12 +725,13 @@ def _oracle_sample_split() -> str:
         f"WHEN '{k}' THEN {v!r}" for k, v in SAMPLE_RATES.items()
     ) + " ELSE 0.0 END"
     split = "CASE " + " ".join(
-        f"WHEN u >= {lo!r} AND u < {hi!r} THEN '{name}'"
+        f"WHEN u2 >= {lo!r} AND u2 < {hi!r} THEN '{name}'"
         for name, (lo, hi) in SPLIT_BOUNDS.items()
     ) + " END"
     return f"""
     WITH h AS (SELECT doc_id, lang,
-                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT / {span!r} AS u
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT / {span!r} AS u,
+                 ('0x' || substr(md5(doc_id::VARCHAR || '|split'), 1, 15))::BIGINT / {span!r} AS u2
                FROM documents)
     SELECT doc_id, lang, {split} AS split
     FROM h WHERE u < {rate}
@@ -770,13 +774,13 @@ def _oracle_events_rollup() -> str:
     WITH c AS (SELECT event_type AS key, date_trunc('hour', ts) AS b,
                       floor(value * 100 + 0.5)::BIGINT AS cents
                FROM events),
-    agg AS (SELECT key, b, count(*) AS n_events, sum(cents) AS sum_cents
+    agg AS (SELECT key, b, count(*) AS n_events, sum(cents)::BIGINT AS sum_cents
             FROM c GROUP BY 1, 2)
     SELECT key, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
            n_events, sum_cents,
            floor(sum_cents * 10000.0 / n_events + 0.5)::BIGINT AS avg_cents_x1e4,
-           sum(sum_cents) OVER (PARTITION BY key ORDER BY b
-                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           (sum(sum_cents) OVER (PARTITION BY key ORDER BY b
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT
              AS moving_sum_cents
     FROM agg
     """
@@ -789,7 +793,7 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from hnormalise_spark.ops import timeseries as T
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    s = T.sessionize(ev, gap_seconds=SESSION_GAP_S)
+    s = T.sessionize(ev, gap_seconds=SESSION_GAP_S, tiebreak_col="event_id")
     return s.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),
@@ -806,11 +810,11 @@ def _oracle_events_sessionize() -> str:
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
                   THEN 1 ELSE 0 END AS brk
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+           (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
     FROM o
     """
 
@@ -822,7 +826,7 @@ def q_events_session_stats(spark: SparkSession, sf: str) -> DataFrame:
     from hnormalise_spark.ops import timeseries as T
 
     ev = spark.read.parquet(f"{sf}/events.parquet")
-    s = T.session_stats(ev, gap_seconds=SESSION_GAP_S)
+    s = T.session_stats(ev, gap_seconds=SESSION_GAP_S, tiebreak_col="event_id")
     return s.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("session_seq").cast("long").alias("session_seq"),
@@ -837,17 +841,17 @@ def _oracle_events_session_stats() -> str:
     gap_us = SESSION_GAP_S * 1_000_000
     return f"""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
                   THEN 1 ELSE 0 END AS brk
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     s AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) AS session_seq
+             (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
       FROM o
     )
     SELECT user_id, session_seq, count(*) AS n_events,
@@ -916,7 +920,8 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     j = T.asof_join(ev, build, key_col="user_id", ts_col="ts",
-                    build_cols=("event_id", "value"))
+                    build_cols=("event_id", "value"),
+                    build_tiebreak_col="event_id")
     return j.select(
         F.col("event_id").cast("long").alias("event_id"),
         F.col("user_id").cast("long").alias("user_id"),

@@ -25,11 +25,21 @@ from pyspark.sql import functions as F
 _HASH_SPAN = float(1 << 60)
 
 
-def key_hash_unit(key: Column) -> Column:
+def key_hash_unit(key: Column, salt: str = "") -> Column:
     """Uniform [0, 1) value derived from the key: first 60 bits of
     md5(key) scaled to the unit interval. Engine-portable (md5 is
-    md5 everywhere) and independent of partitioning."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+    md5 everywhere) and independent of partitioning.
+
+    ``salt`` derives an INDEPENDENT uniform from the same key
+    (md5(key || '|' || salt)). Every distinct purpose that thresholds
+    the key — sampling, splitting, shadow cohorts — must use its own
+    salt: thresholding the SAME uniform twice correlates the
+    decisions (e.g. rows kept at rate r all have u < r and can never
+    land in a holdout interval above r)."""
+    hashed = key.cast("string")
+    if salt:
+        hashed = F.concat(hashed, F.lit("|" + salt))
+    return F.conv(F.substring(F.md5(hashed), 1, 15), 16, 10).cast(
         "double"
     ) / F.lit(_HASH_SPAN)
 
@@ -42,12 +52,25 @@ def hash_sample(df: DataFrame, rate: float, key_col: str) -> DataFrame:
     return df.filter(key_hash_unit(F.col(key_col)) < F.lit(float(rate)))
 
 
-def hash_split(df: DataFrame, bounds: dict[str, tuple[float, float]], key_col: str) -> DataFrame:
+def hash_split(
+    df: DataFrame,
+    bounds: dict[str, tuple[float, float]],
+    key_col: str,
+    salt: str = "split",
+) -> DataFrame:
     """Label every row with its split by hash interval, e.g.
     ``{"train": (0.0, 0.9), "holdout": (0.9, 1.0)}``. Intervals are
     half-open; rows outside every interval get NULL. One projection,
-    no shuffle, stable across runs and engines."""
-    u = key_hash_unit(F.col(key_col))
+    no shuffle, stable across runs and engines.
+
+    The split uniform is SALTED (default ``'split'``) so it is
+    independent of any prior ``hash_sample``/``stratified_hash_sample``
+    on the same key — otherwise rows that survived a keep-rate <= 0.9
+    all have u < 0.9 and the holdout would only ever see rate-1.0
+    strata. Pass ``salt=''`` explicitly for the one legitimate
+    unsalted use: carving a holdout that is guaranteed disjoint from
+    every smaller same-key ``hash_sample``."""
+    u = key_hash_unit(F.col(key_col), salt)
     expr = None
     for name, (lo, hi) in bounds.items():
         cond = (u >= F.lit(float(lo))) & (u < F.lit(float(hi)))

@@ -66,6 +66,7 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Assign every event a session id: sessions break when the gap to
     the user's previous event exceeds ``gap_seconds``. session_seq is
@@ -73,8 +74,20 @@ def sessionize(
 
     Gap arithmetic runs on integer microseconds (``unix_micros``), not
     float epoch seconds — exact, and engine-portable for the oracle.
+
+    ``tiebreak_col`` (a unique row id, e.g. ``event_id``) pins the
+    window order when two events of the same user share a timestamp:
+    without it, the cumulative sum crosses tied rows in an engine- and
+    run-dependent order, so a tie straddling a session boundary gets
+    nondeterministic session_seq. The break PREDICATE is order-free at
+    equal ts (gap 0 never exceeds a positive threshold), only the
+    running sum's crossing order matters — a total order makes it
+    deterministic.
     """
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
     # unix_micros rejects TIMESTAMP_NTZ; the cast is a no-op for
     # TIMESTAMP and, with the session TZ pinned to UTC (session.py),
     # an identity instant mapping for NTZ — gaps are differences, so
@@ -102,6 +115,7 @@ def asof_join(
     ts_col: str = "ts",
     build_cols: tuple[str, ...] = (),
     suffix: str = "_asof",
+    build_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """As-of join: each probe row picks up the build row with the
     greatest build.ts <= probe.ts for the same key (inclusive, the
@@ -121,6 +135,14 @@ def asof_join(
     ``build_cols`` are the build-side payload columns to attach; they
     are emitted as ``<name><suffix>`` plus ``<ts_col><suffix>`` for
     the matched build timestamp.
+
+    ``build_tiebreak_col`` pins which build row wins when several
+    build rows share (key, ts): the one with the GREATEST tiebreak
+    value (it sorts last under the carry window, so its values are
+    the ones carried). Without it the winner is engine- and
+    run-dependent — same latent-tie class as ``sessionize``. Probe
+    ordering among equal-ts probes never matters: every such probe
+    sees the same set of preceding build rows (tag 0 sorts first).
     """
     if not build_cols:
         build_cols = tuple(
@@ -133,10 +155,20 @@ def asof_join(
     build = build.filter(
         F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
     )
+    if build_tiebreak_col is not None:
+        tb_b = [F.col(build_tiebreak_col).alias("_tb")]
+        tb_p = [
+            F.lit(None).cast(dict(build.dtypes)[build_tiebreak_col]).alias("_tb")
+        ]
+        order = [F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc()]
+    else:
+        tb_b, tb_p = [], []
+        order = [F.col("_t").asc(), F.col("_tag").asc()]
     b = build.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_t"),
         F.lit(0).alias("_tag"),
+        *tb_b,
         F.col(ts_col).alias(f"_b_{ts_col}"),
         *[F.col(c).alias(f"_b_{c}") for c in build_cols],
         *[
@@ -148,6 +180,7 @@ def asof_join(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_t"),
         F.lit(1).alias("_tag"),
+        *tb_p,
         F.lit(None).cast(dict(build.dtypes)[ts_col]).alias(f"_b_{ts_col}"),
         *[
             F.lit(None).cast(dict(build.dtypes)[c]).alias(f"_b_{c}")
@@ -157,7 +190,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = b.unionByName(p).select(
@@ -180,12 +213,13 @@ def session_stats(
     ts_col: str = "ts",
     user_col: str = "user_id",
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-session aggregates: event count, span seconds, first/last
     timestamps — the sessionized frame reduced one more level (same
     user-key partitioning carries through, so the second aggregate
     reuses the shuffle when AQE keeps the partitioning)."""
-    s = sessionize(df, ts_col, user_col, gap_seconds)
+    s = sessionize(df, ts_col, user_col, gap_seconds, tiebreak_col)
     return s.groupBy(F.col(user_col), F.col("session_seq")).agg(
         F.count("*").alias("n_events"),
         F.min(ts_col).alias("t_first"),

@@ -11,8 +11,9 @@ from hnormalise_spark.ops import sampling as S
 SPAN = float(1 << 60)
 
 
-def _unit(key) -> float:
-    return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) / SPAN
+def _unit(key, salt: str = "") -> float:
+    s = str(key) + ("|" + salt if salt else "")
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) / SPAN
 
 
 def test_hash_sample_is_pure_function_of_key(spark):
@@ -34,11 +35,34 @@ def test_hash_split_intervals_are_disjoint_and_exhaustive(spark):
     assert len(splits) == 500
     assert set(splits.values()) == {"train", "holdout"}
     for i, s in splits.items():
-        assert s == ("train" if _unit(i) < 0.9 else "holdout")
-    # the carved holdout is disjoint from ANY smaller hash_sample
+        assert s == ("train" if _unit(i, "split") < 0.9 else "holdout")
+
+
+def test_unsalted_split_optin_is_disjoint_from_samples(spark):
+    # salt='' is the explicit opt-in: same uniform as hash_sample, so
+    # the carved holdout is guaranteed disjoint from ANY smaller sample
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = S.hash_split(
+        df, {"train": (0.0, 0.9), "holdout": (0.9, 1.0)}, "doc_id", salt=""
+    ).collect()
+    splits = {r["doc_id"]: r["split"] for r in out}
     sample = {r["doc_id"] for r in S.hash_sample(df, 0.5, "doc_id").collect()}
     holdout = {i for i, s in splits.items() if s == "holdout"}
-    assert sample.isdisjoint(holdout)
+    assert holdout and sample.isdisjoint(holdout)
+
+
+def test_salted_split_is_independent_of_sampling(spark):
+    # regression for the composition bias: rows kept at rate 0.5 all
+    # have unsalted u < 0.5 < 0.9, so an UNSALTED split could never put
+    # them in holdout [0.9, 1.0). The salted default must land kept
+    # rows in the holdout at ~the interval width.
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    kept = S.hash_sample(df, 0.5, "doc_id")
+    out = S.hash_split(kept, {"train": (0.0, 0.9), "holdout": (0.9, 1.0)}, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts.get("holdout", 0) > 0
+    assert 0.05 < counts["holdout"] / total < 0.20  # ~0.10 expected
 
 
 def test_stratified_rates_apply_per_stratum(spark):

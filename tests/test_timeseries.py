@@ -132,6 +132,44 @@ def test_asof_join_ignores_null_ts_build_rows(spark):
     assert got == {1: None, 2: 10}
 
 
+def test_sessionize_ties_straddling_gap_are_deterministic(spark):
+    # two events share (user_id, ts) exactly at a session boundary:
+    # without a tiebreaker the cumulative sum crosses them in an
+    # engine-/run-dependent order. With tiebreak_col the lower
+    # event_id is FIRST, so it carries the break and both land in the
+    # same (new) session with identical seq on every run/partitioning.
+    rows = [
+        (0, 1, 0, "a", 0),
+        (5, 1, 2000, "a", 0),   # > 1800s gap: new session; tied with #4
+        (4, 1, 2000, "a", 0),   # same (user, ts)
+        (6, 1, 2010, "a", 0),
+    ]
+    expected = {0: 1, 4: 2, 5: 2, 6: 2}
+    for nparts in (1, 3, 7):
+        ev = _events(spark, rows).repartition(nparts)
+        got = {
+            r["event_id"]: r["session_seq"]
+            for r in T.sessionize(ev, tiebreak_col="event_id").collect()
+        }
+        assert got == expected
+
+
+def test_asof_join_tied_build_rows_pick_greatest_tiebreak(spark):
+    probe = _events(spark, [(1, 1, 20, "view", 0)])
+    # two build rows share (user_id, ts=10): the greatest event_id wins
+    build = _events(
+        spark,
+        [(100, 1, 10, "purchase", 1.0), (102, 1, 10, "purchase", 3.0),
+         (101, 1, 10, "purchase", 2.0)],
+    ).select("user_id", "ts", "event_id", "value")
+    for nparts in (1, 4):
+        got = T.asof_join(
+            probe.repartition(nparts), build.repartition(nparts),
+            build_cols=("event_id", "value"), build_tiebreak_col="event_id",
+        ).collect()[0]
+        assert got["event_id_asof"] == 102 and got["value_asof"] == 3.0
+
+
 def test_sessionize_null_ts_rows_do_not_corrupt_real_chain(spark):
     ev = spark.createDataFrame(
         [(1, 1, T0, "a", 1.0), (2, 1, None, "a", 1.0),
