@@ -79,16 +79,21 @@ def committed_snapshot_ids(table_path: str) -> list[str]:
     return [s["snapshot_id"] for s in read_manifest(table_path)["snapshots"]]
 
 
-def _commit_manifest(table_path: str, entry: dict, lock_timeout: float = 10.0) -> None:
-    """Atomically append one snapshot entry. Two layers:
+def _locked_manifest_swap(table_path: str, mutate, lock_timeout: float = 10.0) -> bool:
+    """Run ``mutate(manifest_dict) -> bool`` under the table's manifest
+    lock and atomically swap the result in. Two layers:
 
     * temp file + ``os.replace`` — readers never see a torn manifest;
     * an ``O_EXCL`` lock file serialising the read-modify-write, so two
-      concurrent committers of *different* snapshots cannot lose an
-      entry. This is the local-fs stand-in for what a real deployment
-      delegates to the catalog (Iceberg's metastore/REST commit is the
-      same single-writer swap); O_EXCL is not atomic on some object
-      stores — there, the catalog IS the lock.
+      concurrent committers cannot lose an entry. This is the local-fs
+      stand-in for what a real deployment delegates to the catalog
+      (Iceberg's metastore/REST commit is the same single-writer swap);
+      O_EXCL is not atomic on some object stores — there, the catalog
+      IS the lock.
+
+    ``mutate`` returning False aborts WITHOUT writing (optimistic
+    validation failed — e.g. a compaction found its input set changed);
+    the return value is passed through.
     """
     d = os.path.dirname(_manifest_path(table_path))
     os.makedirs(d, exist_ok=True)
@@ -107,16 +112,28 @@ def _commit_manifest(table_path: str, entry: dict, lock_timeout: float = 10.0) -
             time.sleep(0.02)
     try:
         man = read_manifest(table_path)
-        man["snapshots"] = [
-            s for s in man["snapshots"] if s["snapshot_id"] != entry["snapshot_id"]
-        ] + [entry]
+        if not mutate(man):
+            return False
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         with os.fdopen(fd, "w") as fh:
             json.dump(man, fh, indent=1)
         os.replace(tmp, _manifest_path(table_path))
+        return True
     finally:
         os.close(lock_fd)
         os.unlink(lock)
+
+
+def _commit_manifest(table_path: str, entry: dict, lock_timeout: float = 10.0) -> None:
+    """Atomically append one snapshot entry (idempotent per id)."""
+
+    def mutate(man: dict) -> bool:
+        man["snapshots"] = [
+            s for s in man["snapshots"] if s["snapshot_id"] != entry["snapshot_id"]
+        ] + [entry]
+        return True
+
+    _locked_manifest_swap(table_path, mutate, lock_timeout)
 
 
 def snapshot_data_path(table_path: str, snapshot_id: str) -> str:
@@ -169,6 +186,23 @@ def write_snapshot(
             {"snapshot_id": snapshot_id, "engine": "iceberg", **(extra or {})},
         )
         return True
+    _write_data_files(df, table_path, snapshot_id, partition_by)
+    _commit_manifest(
+        table_path,
+        {"snapshot_id": snapshot_id, "engine": "parquet-manifest", **(extra or {})},
+    )
+    return True
+
+
+def _write_data_files(
+    df: DataFrame,
+    table_path: str,
+    snapshot_id: str,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write the snapshot's parquet dir WITHOUT committing it — the
+    data stays invisible until a manifest swap names it. Split out so
+    ``compact`` can stage its output first and commit atomically."""
     w = df.write.mode("overwrite")
     if partition_by:
         # align writers with partitions: without the shuffle every task
@@ -178,11 +212,6 @@ def write_snapshot(
         w = df.write.mode("overwrite")
         w = w.partitionBy(*partition_by)
     w.parquet(snapshot_data_path(table_path, snapshot_id))
-    _commit_manifest(
-        table_path,
-        {"snapshot_id": snapshot_id, "engine": "parquet-manifest", **(extra or {})},
-    )
-    return True
 
 
 def live_snapshots(table_path: str) -> list[dict]:
@@ -195,12 +224,18 @@ def live_snapshots(table_path: str) -> list[dict]:
     ]
 
 
-def read_committed(spark: SparkSession, table_path: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession, table_path: str, snapshot_ids: list[str] | None = None
+) -> DataFrame:
     """Union of all live committed snapshots (uncommitted orphan dirs
     and compaction-superseded snapshots are NOT read —
     commit-then-visible). The ``snapshot_id`` partition column is kept
-    on the rows (basePath read), so per-snapshot lineage survives."""
-    ids = [s["snapshot_id"] for s in live_snapshots(table_path)]
+    on the rows (basePath read), so per-snapshot lineage survives.
+    ``snapshot_ids`` pins an explicit set instead of re-reading the
+    manifest (compaction's validated input set)."""
+    ids = snapshot_ids
+    if ids is None:
+        ids = [s["snapshot_id"] for s in live_snapshots(table_path)]
     if not ids:
         raise FileNotFoundError(f"no committed snapshots in {table_path}")
     paths = [snapshot_data_path(table_path, s) for s in ids]
@@ -226,20 +261,32 @@ def read_snapshot(spark: SparkSession, table_path: str, snapshot_id: str) -> Dat
 # one batch's output); across snapshots, later commits win.
 
 
-def read_latest(spark: SparkSession, table_path: str, key_col: str) -> DataFrame:
+def read_latest(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    snaps: list[dict] | None = None,
+) -> DataFrame:
     """Merge-on-read: one row per key — the version from the latest
     live snapshot that contains the key. Plan shape: the tiny
     (snapshot_id -> commit sequence) map joins broadcast; the
     per-key resolution is ONE window (max_by) over the key shuffle —
-    no per-snapshot scans, no iterative joins."""
+    no per-snapshot scans, no iterative joins.
+
+    ``snaps`` pins the exact snapshot set to resolve over (compaction
+    passes the set it validated against) instead of re-reading the
+    manifest — two manifest reads could straddle a concurrent commit."""
     from pyspark.sql import Window
 
-    snaps = live_snapshots(table_path)
+    if snaps is None:
+        snaps = live_snapshots(table_path)
     seq = spark.createDataFrame(
         [(s["snapshot_id"], i) for i, s in enumerate(snaps)],
         "snapshot_id string, _seq long",
     )
-    df = read_committed(spark, table_path).join(F.broadcast(seq), "snapshot_id")
+    df = read_committed(
+        spark, table_path, [s["snapshot_id"] for s in snaps]
+    ).join(F.broadcast(seq), "snapshot_id")
     w = Window.partitionBy(key_col).orderBy(F.col("_seq").desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -249,48 +296,62 @@ def read_latest(spark: SparkSession, table_path: str, key_col: str) -> DataFrame
 
 
 def compact(
-    spark: SparkSession, table_path: str, snapshot_id: str, key_col: str
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: str,
+    key_col: str,
+    max_attempts: int = 3,
 ) -> bool:
     """Materialize the merge-on-read view as ONE new snapshot and
-    retire (supersede) the inputs: readers flip from N-snapshot
-    resolution to a single compacted scan atomically at the manifest
-    commit. Returns False if ``snapshot_id`` is already committed
-    (resume no-op). Time-travel reads of superseded snapshots keep
-    working — their data dirs are never deleted here (a real
-    deployment garbage-collects them after a retention window)."""
-    if is_committed(table_path, snapshot_id):
-        return False
-    inputs = [s["snapshot_id"] for s in live_snapshots(table_path)]
-    latest = read_latest(spark, table_path, key_col)
-    if not write_snapshot(latest, table_path, snapshot_id, extra={"compaction_of": inputs}):
-        return False
-    _mark_superseded(table_path, inputs, snapshot_id)
-    return True
+    retire (supersede) the inputs: the compaction entry AND the
+    ``superseded_by`` stamps land in a SINGLE locked manifest swap, so
+    a concurrent ``read_committed`` flips atomically from N-snapshot
+    resolution to the compacted scan — it can never see inputs and
+    compaction live together (duplicate rows).
 
+    Concurrent appends are handled Iceberg-style (optimistic
+    validation): the data files are staged uncommitted, and inside the
+    lock the live snapshot set is re-checked against the set the
+    compaction actually read. A snapshot committed in between would
+    get a LOWER merge-on-read sequence than the compaction (silently
+    losing its updates), so the commit aborts and the whole
+    read→stage→validate cycle retries over the new set.
 
-def _mark_superseded(table_path: str, ids: list[str], by: str) -> None:
-    """Stamp ``superseded_by`` on manifest entries (same lock/atomic
-    swap as _commit_manifest)."""
-    d = os.path.dirname(_manifest_path(table_path))
-    lock = os.path.join(d, ".manifest.lock")
-    deadline = time.monotonic() + 10.0
-    while True:
-        try:
-            lock_fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
-            if time.monotonic() > deadline:
-                raise TimeoutError(f"manifest lock {lock} held past 10s")
-            time.sleep(0.02)
-    try:
-        man = read_manifest(table_path)
-        for s in man["snapshots"]:
-            if s["snapshot_id"] in ids:
-                s["superseded_by"] = by
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(man, fh, indent=1)
-        os.replace(tmp, _manifest_path(table_path))
-    finally:
-        os.close(lock_fd)
-        os.unlink(lock)
+    Returns False if ``snapshot_id`` is already committed (resume
+    no-op). Time-travel reads of superseded snapshots keep working —
+    their data dirs are never deleted here (a real deployment
+    garbage-collects them after a retention window)."""
+    for _ in range(max_attempts):
+        if is_committed(table_path, snapshot_id):
+            return False
+        snaps = live_snapshots(table_path)
+        inputs = [s["snapshot_id"] for s in snaps]
+        latest = read_latest(spark, table_path, key_col, snaps=snaps)
+        _write_data_files(latest, table_path, snapshot_id)
+
+        def mutate(man: dict) -> bool:
+            live_now = [
+                s["snapshot_id"]
+                for s in man["snapshots"]
+                if not s.get("superseded_by")
+            ]
+            if live_now != inputs:
+                return False  # concurrent commit — abort, retry outside
+            man["snapshots"].append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "engine": "parquet-manifest",
+                    "compaction_of": inputs,
+                }
+            )
+            for s in man["snapshots"]:
+                if s["snapshot_id"] in inputs:
+                    s["superseded_by"] = snapshot_id
+            return True
+
+        if _locked_manifest_swap(table_path, mutate):
+            return True
+    raise RuntimeError(
+        f"compaction {snapshot_id} on {table_path} aborted {max_attempts} "
+        "times: the live snapshot set kept changing under it"
+    )

@@ -38,6 +38,64 @@ def test_upsert_merge_on_read_and_compaction(spark, tmp_path):
     assert latest2 == {1: "z1", 2: "b2", 3: "b3", 4: "b4"}
 
 
+def test_compact_is_one_manifest_swap_so_readers_flip_atomically(spark, tmp_path, monkeypatch):
+    # the round-3 defect: compaction committed its snapshot in one swap
+    # and stamped superseded_by in a SECOND — a reader between the two
+    # saw inputs AND compaction live (duplicate rows). Proof of fix:
+    # exactly one manifest transition happens during compact, and the
+    # post-transition state already has the inputs retired.
+    from hnormalise_spark import table as TT
+
+    tbl = str(tmp_path / "t")
+    T.write_snapshot(_df(spark, [(1, "a")]), tbl, "s1")
+    T.write_snapshot(_df(spark, [(1, "b"), (2, "b2")]), tbl, "s2")
+
+    states = []
+    orig = TT._locked_manifest_swap
+
+    def spy(table_path, mutate, lock_timeout=10.0):
+        res = orig(table_path, mutate, lock_timeout)
+        states.append(T.read_manifest(table_path))
+        return res
+
+    monkeypatch.setattr(TT, "_locked_manifest_swap", spy)
+    assert T.compact(spark, tbl, "c", "doc_id")
+    assert len(states) == 1  # ONE swap: no observable intermediate
+    live = [s["snapshot_id"] for s in states[0]["snapshots"] if not s.get("superseded_by")]
+    assert live == ["c"]
+    # and a reader on the final state sees exactly the resolved rows
+    rows = {r["doc_id"]: r["text"] for r in T.read_committed(spark, tbl).collect()}
+    assert rows == {1: "b", 2: "b2"}
+
+
+def test_compact_aborts_and_retries_on_concurrent_append(spark, tmp_path, monkeypatch):
+    # a snapshot appended AFTER compact reads the live set would get a
+    # LOWER merge-on-read sequence than the compaction — a silent lost
+    # update. The optimistic validation must abort that commit and the
+    # retry must fold the concurrent rows in.
+    from hnormalise_spark import table as TT
+
+    tbl = str(tmp_path / "t2")
+    T.write_snapshot(_df(spark, [(1, "a"), (2, "a2")]), tbl, "s1")
+
+    orig_write = TT._write_data_files
+    fired = {"done": False}
+
+    def sneaky(df, table_path, snapshot_id, partition_by=()):
+        if snapshot_id == "c" and not fired["done"]:
+            fired["done"] = True
+            # concurrent writer lands an upsert between the live-set
+            # read and the manifest commit
+            T.write_snapshot(_df(spark, [(2, "NEW")]), tbl, "s2")
+        orig_write(df, table_path, snapshot_id, partition_by)
+
+    monkeypatch.setattr(TT, "_write_data_files", sneaky)
+    assert T.compact(spark, tbl, "c", "doc_id")
+    latest = {r["doc_id"]: r["text"] for r in T.read_latest(spark, tbl, "doc_id").collect()}
+    assert latest == {1: "a", 2: "NEW"}  # the concurrent upsert survived
+    assert [s["snapshot_id"] for s in T.live_snapshots(tbl)] == ["c"]
+
+
 def test_read_latest_broadcasts_seq_map(spark, tmp_path):
     tbl = str(tmp_path / "tbl2")
     T.write_snapshot(_df(spark, [(1, "a")]), tbl, "s1")
