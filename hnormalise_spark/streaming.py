@@ -215,11 +215,12 @@ def streaming_dedup(
 
     Scale shape: state is keyed by the 32-hex md5 fingerprint, so the
     stateful shuffle is on a fixed-width skew-immune key and per-key
-    state is ~50 bytes (first doc_id + count). At 100 TB, bound the
-    state store with a watermark + GroupStateTimeout.EventTimeTimeout
-    (drop fingerprints not seen for N days); the sandbox test drives
-    the NoTimeout variant through multiple micro-batches to prove
-    cross-batch suppression.
+    state is ~50 bytes (first doc_id + count). State here is UNBOUNDED
+    by design (NoTimeout): this variant is the bounded-BACKFILL form,
+    where the universe of fingerprints is finite and exact global
+    suppression is the contract. For an endless production stream use
+    ``streaming_dedup_bounded`` — same operator plus watermark +
+    EventTimeTimeout state expiry.
     """
     import pandas as pd
 
@@ -276,6 +277,115 @@ def streaming_dedup(
         .format("parquet")
         .option("path", os.path.join(out_dir, "deduped"))
         .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_dedup_bounded(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    ttl_seconds: int = 7 * 24 * 3600,
+    watermark: str = "1 second",
+    max_files: int = 1,
+) -> StreamingQuery:
+    """Streaming exact-dedup with BOUNDED state: the production form of
+    ``streaming_dedup`` for an endless stream. Fingerprint state is
+    watermarked on the parsed ``timereported`` event time and expires
+    via ``GroupStateTimeout.EventTimeTimeout`` once the watermark
+    passes last-seen + ``ttl_seconds`` — a fingerprint unseen for the
+    TTL is forgotten (its next occurrence re-admits, which is the
+    documented semantics: "suppress duplicates within N days", not
+    "forever"). State size is therefore O(distinct fingerprints per
+    TTL window), not O(all history) — the difference between a bounded
+    state store and an OOM at 100 TB of stream.
+
+    Each occurrence refreshes the expiry (last-seen + TTL); the expiry
+    is clamped above the current watermark because Spark rejects
+    timeout timestamps at or below it (a key whose refreshed expiry
+    already trails the watermark times out at the next trigger).
+
+    The fingerprint covers the message PAYLOAD (``msg``; ``raw`` as
+    fallback for unparseable envelopes), not the whole line: the
+    envelope embeds the event timestamp, so whole-line duplicates are
+    always same-instant and a time-bounded dedup of them would be
+    vacuous — payload dedup is the "same content re-logged later"
+    semantics the TTL exists for.
+    """
+    import pandas as pd
+
+    from hnormalise_spark.ops.dedup import normalized_text
+
+    stream = read_token_stream(spark, in_dir, max_files=max_files)
+    parsed = normalise_tokens(stream)
+    rows = (
+        parsed.select(
+            "doc_id",
+            "raw",
+            "timereported",
+            F.md5(
+                normalized_text(F.coalesce(F.col("msg"), F.col("raw")))
+            ).alias("fingerprint"),
+        )
+        .filter(F.col("timereported").isNotNull())
+        .withWatermark("timereported", watermark)
+    )
+
+    out_schema = (
+        "fingerprint string, doc_id string, raw string, n_batch_dups long"
+    )
+    state_schema = "n_seen long"
+    ttl_ms = int(ttl_seconds) * 1000
+
+    def dedup_fn(key, pdf_iter, state):
+        (fp,) = key
+        if state.hasTimedOut:
+            # watermark passed last-seen + TTL with no new occurrence:
+            # forget the fingerprint (next occurrence re-admits)
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        first_row = None
+        n_new = 0
+        max_ts_ms = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                ts_ms = int(pdf["timereported"].max().value // 1_000_000)
+                max_ts_ms = ts_ms if max_ts_ms is None else max(max_ts_ms, ts_ms)
+                if seen == 0:
+                    i = pdf["doc_id"].astype(str).idxmin()
+                    cand = (str(pdf["doc_id"][i]), pdf["raw"][i])
+                    if first_row is None or cand[0] < first_row[0]:
+                        first_row = cand
+            n_new += len(pdf)
+        state.update((seen + n_new,))
+        if max_ts_ms is not None:
+            state.setTimeoutTimestamp(
+                max(max_ts_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if seen == 0 and first_row is not None:
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [fp],
+                    "doc_id": [first_row[0]],
+                    "raw": [first_row[1]],
+                    "n_batch_dups": [n_new - 1],
+                }
+            )
+
+    deduped = rows.groupBy("fingerprint").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "deduped"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_ddb"))
         .trigger(availableNow=True)
         .start()
     )

@@ -255,6 +255,68 @@ def test_streaming_sessions_match_batch_sessionize(spark, corpus_dir, tmp_path):
 # custom stateful streaming op: exact dedup via applyInPandasWithState
 
 
+def test_streaming_dedup_bounded_expires_and_readmits(spark, tmp_path):
+    """EventTimeTimeout variant: fingerprints unseen for the TTL are
+    dropped from the state store (bounded state at scale) and a LATER
+    occurrence re-admits. Drives 4 micro-batches whose event times
+    cross a 1-hour TTL and checks (a) the duplicate within the TTL is
+    suppressed, (b) the occurrence after expiry is emitted again,
+    (c) the state row count SHRINKS when the timeout fires."""
+    import time as _time
+
+    from hnormalise_spark.tokenizer import tokenize_pandas
+
+    def _line(hhmm, body):
+        return (
+            f"<13>1 2017-05-24T{hhmm}:00+00:00 host tag - snoopy[7]::  "
+            f"[uid:1 sid:1 tty:(none) cwd:/ filename:/bin/{body}]: /bin/{body}"
+        )
+
+    # ttl = 1h. A and B expire once the watermark (max event time - 1s)
+    # passes their last-seen + 1h: that happens in batch 3 (wm ~13:00
+    # after batch 2 > 11:00). A's batch-4 occurrence is POST-expiry.
+    batches = [
+        [("a0", _line("10:00", "A")), ("a1", _line("10:00", "A")),
+         ("b1", _line("10:00", "B"))],
+        [("c1", _line("13:00", "C"))],
+        [("d1", _line("13:30", "D"))],
+        [("a2", _line("13:40", "A"))],
+    ]
+    src = str(tmp_path / "src_ttl")
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id string, raw string")
+        df.select(
+            "doc_id",
+            tokenize_pandas(F.col("raw")).alias("tokens"),
+            F.length("raw").cast("int").alias("n_tok"),
+            F.lit("snoopy").alias("source"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(0.2)  # distinct mtimes: the file source triggers in order
+
+    out = str(tmp_path / "ddb")
+    q = streaming.streaming_dedup_bounded(
+        spark, src, out, ttl_seconds=3600, watermark="1 second", max_files=1
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(os.path.join(out, "deduped")).collect()
+    by_doc = {r["doc_id"]: r for r in rows}
+    # batch 1: in-batch dup suppressed, min doc_id kept
+    assert "a0" in by_doc and by_doc["a0"]["n_batch_dups"] == 1
+    assert "a1" not in by_doc
+    # post-expiry occurrence re-admitted with the SAME fingerprint
+    assert "a2" in by_doc
+    assert by_doc["a2"]["fingerprint"] == by_doc["a0"]["fingerprint"]
+    assert {r["doc_id"] for r in rows} == {"a0", "b1", "c1", "d1", "a2"}
+
+    # state store shrank when A and B timed out
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progress)
+    assert removed >= 2
+    assert any(b < a for a, b in zip(totals, totals[1:])), totals
+
+
 def test_streaming_dedup_suppresses_across_microbatches(spark, tmp_path):
     """Duplicates must be suppressed within a micro-batch AND across
     micro-batches (the custom state part built-ins cannot express:
