@@ -146,6 +146,15 @@ def main() -> int:
         import __spark_entry__ as entry
 
         for name, fn in entry.queries().items():
+            # warm run: same policy as the pipeline leg — one-time
+            # Janino compilation of the plan's projections + HotSpot
+            # JIT of the compiled classes is a per-plan-shape constant
+            # (measured: json_encode_snoopy 7.0 s first run, 1.4 s
+            # every run after, any fresh identically-shaped plan), not
+            # a per-row cost, and amortizes to zero at scale. Cold
+            # numbers also made early-alphabet queries look slower
+            # than late ones for no data reason.
+            force(fn(spark, sf_dir))
             w, sp, _ = timed(lambda: force(fn(spark, sf_dir)))
             q_secs[name] = round(w, 3)
             q_steal[name] = sp

@@ -48,6 +48,34 @@ def jobj(*pairs: tuple[str, Column]) -> Column:
     return F.concat(F.lit("{"), F.concat_ws(",", *members), F.lit("}"))
 
 
+def _fold_concat(args: list) -> Column:
+    """ONE flat concat, with adjacent string literals pre-merged: the
+    per-member ``concat`` + ``concat_ws`` + brace-``concat`` tower
+    allocates an intermediate UTF8String per member per row; a single
+    concat writes the output once. Only valid when every member is
+    always present (no omit-when-null members)."""
+    folded: list = []
+    for a in args:
+        if isinstance(a, str) and folded and isinstance(folded[-1], str):
+            folded[-1] += a
+        else:
+            folded.append(a)
+    return F.concat(*[F.lit(a) if isinstance(a, str) else a for a in folded])
+
+
+def jobjd(*pairs: tuple[str, Column]) -> Column:
+    """Dense object — the generic-aeson-encoder case where every member
+    is ALWAYS emitted (absent values render as the literal 'null', the
+    rendered columns are never SQL-null). Byte-identical to ``jobj``
+    on such members, but one flat concat instead of ~2N expressions."""
+    args: list = []
+    for i, (k, v) in enumerate(pairs):
+        args.append(("{" if i == 0 else ",") + f'"{k}":')
+        args.append(v)
+    args.append("}")
+    return _fold_concat(args)
+
+
 def opt(v: Column, rendered: Column) -> Column:
     """Omit-when-null member (hand-rolled encoders): NULL-out the
     rendered value when the source value is null."""
@@ -74,7 +102,7 @@ def _job_name(n: Column) -> Column:
     # TorqueJobName generic encoder: number, arrayId, master, cluster
     return guard(
         n,
-        jobj(
+        jobjd(
             ("number", jnum(n["number"])),
             ("arrayId", jnum(n["array_id"])),
             ("master", jstr(n["master"])),
@@ -92,7 +120,7 @@ def _exec_host(eh: Column) -> Column:
     return jarr(
         F.transform(
             eh,
-            lambda h: jobj(
+            lambda h: jobjd(
                 ("name", jstr(h["name"])),
                 ("cores", jarr(F.transform(h["cores"], lambda c: c.cast("string")))),
             ),
@@ -108,9 +136,9 @@ def _node_list(nl: Column) -> Column:
             nl,
             lambda nd: F.when(
                 nd["number"].isNotNull(),
-                jobj(("number", jnum(nd["number"])), ("ppn", jnum(nd["ppn"]))),
+                jobjd(("number", jnum(nd["number"])), ("ppn", jnum(nd["ppn"]))),
             ).otherwise(
-                jobj(("name", jstr(nd["name"])), ("ppn", jnum(nd["ppn"]))),
+                jobjd(("name", jstr(nd["name"])), ("ppn", jnum(nd["ppn"]))),
             ),
         )
     )
@@ -119,7 +147,7 @@ def _node_list(nl: Column) -> Column:
 def _resource_request(rr: Column) -> Column:
     return guard(
         rr,
-        jobj(
+        jobjd(
             ("mem", jnum(rr["mem"])),
             ("advres", jstr(rr["advres"])),
             ("naccesspolicy", jstr(rr["naccesspolicy"])),
@@ -151,7 +179,7 @@ def _resource_request(rr: Column) -> Column:
 def _times(t: Column) -> Column:
     return guard(
         t,
-        jobj(
+        jobjd(
             ("ctime", jnum(t["ctime"])),
             ("qtime", jnum(t["qtime"])),
             ("etime", jnum(t["etime"])),
@@ -164,7 +192,7 @@ def _times(t: Column) -> Column:
 def _resource_usage(ru: Column) -> Column:
     return guard(
         ru,
-        jobj(
+        jobjd(
             ("cputime", jnum(ru["cputime"])),
             ("energy", jnum(ru["energy"])),
             ("mem", jnum(ru["mem"])),
@@ -180,18 +208,18 @@ def torque_json(t: Column) -> Column:
     test/HNormalise/ParserSpec.hs:78)."""
     et = t["entry_type"]
     common = [("torqueDatestamp", jstr(t["datestamp"])), ("name", _job_name(t["name"]))]
-    q = jobj(*common, ("queue", jstr(t["queue"])), ("torqueEntryType", F.lit('"TorqueQueueEntry"')))
-    d = jobj(
+    q = jobjd(*common, ("queue", jstr(t["queue"])), ("torqueEntryType", F.lit('"TorqueQueueEntry"')))
+    d = jobjd(
         *common,
-        ("requestor", guard(t["requestor"], jobj(
+        ("requestor", guard(t["requestor"], jobjd(
             ("user", jstr(t["requestor"]["user"])),
             ("whence", jstr(t["requestor"]["whence"])),
         ))),
         ("torqueEntryType", F.lit('"TorqueDeleteEntry"')),
     )
-    a = jobj(*common, ("torqueEntryType", F.lit('"TorqueAbortEntry"')))
-    r = jobj(*common, ("torqueEntryType", F.lit('"TorqueRerunEntry"')))
-    s = jobj(
+    a = jobjd(*common, ("torqueEntryType", F.lit('"TorqueAbortEntry"')))
+    r = jobjd(*common, ("torqueEntryType", F.lit('"TorqueRerunEntry"')))
+    s = jobjd(
         *common,
         ("user", jstr(t["user"])),
         ("group", jstr(t["group"])),
@@ -204,7 +232,7 @@ def torque_json(t: Column) -> Column:
         ("resourceRequest", _resource_request(t["resource_request"])),
         ("torqueEntryType", F.lit('"TorqueStartEntry"')),
     )
-    e = jobj(
+    e = jobjd(
         *common,
         ("user", jstr(t["user"])),
         ("group", jstr(t["group"])),
@@ -243,21 +271,21 @@ def lmod_json(l: Column) -> Column:
         .when(jid["number"].isNotNull(), jnum(jid["number"]))
         .otherwise(_job_name(jid["torque"]))
     )
-    info = jobj(
+    info = jobjd(
         ("username", jstr(l["info"]["username"])),
         ("cluster", jstr(l["info"]["cluster"])),
         ("jobid", jobid),
     )
-    load = jobj(
+    load = jobjd(
         ("info", info),
         ("userload", jbool(l["userload"])),
-        ("module", guard(l["module"], jobj(
+        ("module", guard(l["module"], jobjd(
             ("name", jstr(l["module"]["name"])),
             ("version", jstr(l["module"]["version"])),
         ))),
         ("filename", jstr(l["filename"])),
     )
-    cmd = jobj(
+    cmd = jobjd(
         ("info", info),
         ("command", jstr(l["command"])),
         ("arguments", jstr(l["arguments"])),
@@ -267,7 +295,7 @@ def lmod_json(l: Column) -> Column:
 
 def snoopy_json(s: Column) -> Column:
     """Snoopy generic encoder (Snoopy/Json.hs) — nulls kept."""
-    return jobj(
+    return jobjd(
         ("pid", jnum(s["pid"])),
         ("uid", jnum(s["uid"])),
         ("username", jstr(s["username"])),
@@ -332,26 +360,33 @@ def encode_normalised(fields: list[tuple[str, str]] | None = None) -> Column:
     {<jsonkey>: payload, <out_key>: <envelope field>, ...} — payload
     first, exactly as the reference's pairs fold (Json.hs:94-96).
     """
-    key_member = F.concat(F.lit('"'), F.col("jsonkey"), F.lit('":'), payload_json())
+    # every member is always present (envelope values render 'null'
+    # when absent, the payload member is the parse result itself), so
+    # the whole line folds into ONE flat concat — the previous
+    # build-head-then-splice (substr(head, len-1) + concat) and the
+    # per-member concat towers each materialized the full line one
+    # extra time per row.
     if fields is None:
-        head = jobj(
-            ("message", jstr(F.col("msg"))),
-            ("syslog_abspri", jnum(F.col("pri"))),
-            ("syslog_version", jnum(F.col("version"))),
-            ("program", jstr(F.col("appname"))),
-            ("@source_host", jstr(F.col("hostname"))),
-        )
-        # splice the dynamic jsonkey member into the object tail
-        return F.concat(head.substr(F.lit(1), F.length(head) - 1), F.lit(","), key_member, F.lit("}"))
+        args: list = [
+            '{"message":', jstr(F.col("msg")),
+            ',"syslog_abspri":', jnum(F.col("pri")),
+            ',"syslog_version":', jnum(F.col("version")),
+            ',"program":', jstr(F.col("appname")),
+            ',"@source_host":', jstr(F.col("hostname")),
+            ',"', F.col("jsonkey"), '":', payload_json(), "}",
+        ]
+        return _fold_concat(args)
 
-    members = [key_member]
+    args = ['{"', F.col("jsonkey"), '":', payload_json()]
     for out_key, field in fields:
         if field in _ENVELOPE_JSON_FIELDS:
             col, kind = _ENVELOPE_JSON_FIELDS[field]
             rendered = jstr(F.col(col)) if kind == "str" else jnum(F.col(col))
         elif field in _EMPTY_ENVELOPE_FIELDS:
-            rendered = F.lit('""')
+            rendered = '""'
         else:
-            rendered = NULL()  # M.lookupDefault Null (Json.hs:95)
-        members.append(F.concat(F.lit(f'"{out_key}":'), rendered))
-    return F.concat(F.lit("{"), F.concat_ws(",", *members), F.lit("}"))
+            rendered = "null"  # M.lookupDefault Null (Json.hs:95)
+        args.append(f',"{out_key}":')
+        args.append(rendered)
+    args.append("}")
+    return _fold_concat(args)
