@@ -906,6 +906,27 @@ def _oracle_bm25_topk() -> str:
     """
 
 
+def q_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 over the PERSISTED posting-list index: build once through
+    the snapshot table layer (term_bucket-partitioned postings + a
+    one-row stats sidecar; resume is a committed no-op), probe with a
+    partition-PRUNED scan of the query terms' buckets. Same result set
+    as the inline bm25_topk, so the same independent oracle re-derives
+    it from the raw documents."""
+    import os
+
+    from hnormalise_spark.ops import textops as X
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/hnorm_bm25_index_{tag}_{X.BM25_BUCKETS}b"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    X.bm25_build_index(docs, idx, "base")
+    return X.bm25_topk_indexed(spark, idx, BM25_TERMS, k=BM25_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score_x1e6").cast("long").alias("score_x1e6"),
+    )
+
+
 def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: every event picks up the same user's most recent
     purchase at-or-before it (inclusive). Spark has no native as-of
@@ -1147,6 +1168,7 @@ def queries():
         "events_asof": q_events_asof,
         "events_session_stats": q_events_session_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_indexed": q_bm25_indexed,
         "multimodal_features": q_multimodal,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
@@ -1174,6 +1196,7 @@ def oracle_sql():
         "events_asof": _oracle_events_asof(),
         "events_session_stats": _oracle_events_session_stats(),
         "bm25_topk": _oracle_bm25_topk(),
+        "bm25_indexed": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),

@@ -157,6 +157,21 @@ def bm25_topk(
     stats = lens.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_len").alias("_totlen")
     )
+    return _bm25_score(tf, dfreq, stats, k, k1, b, id_col)
+
+
+def _bm25_score(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+) -> DataFrame:
+    """Shared BM25 scoring tail: (doc, term, tf, dl) + broadcast term
+    df + broadcast corpus stats → integer-micro-unit contributions →
+    per-doc sum → TakeOrderedAndProject top-k."""
     scored = (
         tf.join(F.broadcast(dfreq), "_term")
         .crossJoin(F.broadcast(stats))
@@ -194,3 +209,104 @@ def bm25_topk(
         .orderBy(F.desc("score_x1e6"), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 over a PERSISTED posting-list index (the 100-TB shape: the
+# explode pass is paid once at index-build; every query is a
+# partition-pruned probe)
+
+BM25_BUCKETS = 64
+
+
+def term_bucket_py(term: str, buckets: int = BM25_BUCKETS) -> int:
+    """Python twin of ``_term_bucket_col`` — the driver computes the
+    query's bucket set without a Spark job. md5-derived (not hash()/
+    xxhash64) so Python, Spark, and any SQL engine agree."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _term_bucket_col(term: Column, buckets: int = BM25_BUCKETS) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    ).cast("int")
+
+
+def bm25_build_index(
+    df: DataFrame,
+    index_path: str,
+    snapshot_id: str = "base",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = BM25_BUCKETS,
+) -> None:
+    """Materialize the inverted index ONCE through the snapshot table
+    layer (committed/resumable): a (term, doc_id, tf, dl) posting
+    table partitioned by ``term_bucket`` — a bounded md5-hash bucket
+    of the term, not the term itself: a real vocabulary is millions of
+    terms and one directory per term is the small-files failure mode,
+    while a fixed bucket count keeps partition pruning AND a sane
+    layout. Corpus stats (doc count, total length) land as a one-row
+    sidecar snapshot; per-term document frequency is NOT stored — it
+    is re-aggregated from the probed buckets at query time (a term's
+    postings live entirely in its bucket, so the pruned scan sees all
+    of them).
+    """
+    from hnormalise_spark import table as T
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    lens = df.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("dl"), toks.alias("_toks")
+    )
+    postings = (
+        lens.select("doc_id", "dl", F.explode("_toks").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _term_bucket_col(F.col("term"), buckets))
+    )
+    T.write_snapshot(postings, index_path, snapshot_id, partition_by=("term_bucket",))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    T.write_snapshot(stats, index_path + "_stats", snapshot_id)
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    buckets: int = BM25_BUCKETS,
+) -> DataFrame:
+    """BM25 top-k over the persisted index: the scan is PRUNED to the
+    query terms' buckets (``term_bucket`` is a partition column — the
+    plan lists it under PartitionFilters and never opens the other
+    buckets), then filtered to the exact terms, then the same scoring
+    tail as the inline ``bm25_topk``. Identical results to the inline
+    form by construction."""
+    from hnormalise_spark import table as T
+
+    terms = sorted(set(query_terms))
+    bks = sorted({term_bucket_py(t, buckets) for t in terms})
+    postings = (
+        T.read_committed(spark, index_path)
+        .filter(F.col("term_bucket").isin(bks))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = postings.select(
+        F.col("doc_id").alias("_doc"),
+        F.col("dl").alias("_len"),
+        F.col("term").alias("_term"),
+        F.col("tf").alias("_tf"),
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    stats = T.read_committed(spark, index_path + "_stats").select(
+        F.col("n_docs").alias("_n"), F.col("total_len").alias("_totlen")
+    )
+    return _bm25_score(tf, dfreq, stats, k, k1, b, id_col)
