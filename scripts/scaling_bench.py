@@ -74,14 +74,21 @@ def ensure_corpus() -> str:
     return corpus
 
 
-def run_group(procs: list[tuple[str, str]], corpus: str) -> dict:
-    """Launch one child JVM per (cpus, tag), wait, return walls."""
+def run_group(procs: list[tuple[str, str, str | None]], corpus: str) -> dict:
+    """Launch one child JVM per (cpus, tag, cpuset), wait, return walls.
+    A non-None cpuset pins the child to those CPUs via ``taskset -c`` —
+    isolating scheduler migration effects from memory-bandwidth limits
+    in the executor-group proxy (each "executor" owns disjoint cores,
+    like a real cluster's static core allocation)."""
     env = dict(os.environ)
     children = []
-    for cpus, tag in procs:
+    for cpus, tag, cpuset in procs:
         code = CHILD.format(repo=REPO, cpus=cpus, tag=tag, corpus=corpus)
+        cmd = [sys.executable, "-c", code]
+        if cpuset is not None:
+            cmd = ["taskset", "-c", cpuset] + cmd
         children.append(
-            (tag, subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE,
+            (tag, subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                    stderr=subprocess.DEVNULL, env=env, text=True))
         )
     walls = {}
@@ -96,13 +103,21 @@ def run_group(procs: list[tuple[str, str]], corpus: str) -> dict:
 
 
 def leg(kind: str, spec: str, corpus: str, retries: int = 2) -> dict:
+    pin = os.environ.get("SPARK_GRAFT_PIN", "") not in ("", "0", "false")
     if kind == "single":
-        procs = [(spec, f"s{spec}")]
+        procs = [(spec, f"s{spec}", None)]
         total_lines = N_LINES
         cores = int(spec)
     else:
         p, n = spec.split("x")
-        procs = [(n, f"m{spec}_{i}") for i in range(int(p))]
+        procs = [
+            (
+                n,
+                f"m{spec}_{i}",
+                f"{i * int(n)}-{(i + 1) * int(n) - 1}" if pin else None,
+            )
+            for i in range(int(p))
+        ]
         total_lines = N_LINES * int(p)
         cores = int(p) * int(n)
     best = None
@@ -120,6 +135,7 @@ def leg(kind: str, spec: str, corpus: str, retries: int = 2) -> dict:
             "group_wall_sec": round(group_wall, 1),
             "lines_per_sec": round(lps, 0), "steal_pct": sp,
             "wholestage": os.environ.get("SPARK_GRAFT_WHOLESTAGE", "false"),
+            "pinned": pin and kind != "single",
         }
         if best is None or sp < best["steal_pct"]:
             best = rec
