@@ -1145,6 +1145,233 @@ def _oracle_tokens_roundtrip() -> str:
 
 
 # ---------------------------------------------------------------------------
+# decontamination (ops.decontam)
+
+DECON_N = 8  # word n-gram size; doc_id % 37 == 0 docs form the eval set
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag every document sharing any word
+    8-gram with the (deterministic) eval subset. Corpus explodes to
+    distinct gram hashes and inner-joins the BROADCAST eval set; only
+    the rare hit rows are aggregated, then broadcast back — the corpus
+    itself is never shuffled (the 100-TB shape)."""
+    from hnormalise_spark.ops import decontam as D
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    out = D.decontaminate(docs, D.eval_ngram_hashes(ev, "text", DECON_N), n=DECON_N)
+    return out.select(
+        "doc_id",
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _oracle_decontaminate() -> str:
+    n = DECON_N
+    return f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    dgrams AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g
+               FROM words, UNNEST(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)),
+    ev AS (SELECT DISTINCT g FROM dgrams WHERE doc_id % 37 = 0),
+    hits AS (SELECT d.doc_id, count(*) AS n FROM dgrams d JOIN ev USING (g) GROUP BY 1)
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(h.n, 0)::BIGINT AS n_eval_hits,
+           (coalesce(h.n, 0) > 0)::INT AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (ops.textops.redact_pii)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII masking over documents whose text is deterministically
+    augmented with synthetic emails / IPv4s / phone numbers derived
+    from doc_id (the corpus itself is PII-free word soup — the
+    augmentation is reproduced verbatim in the oracle). Counts are
+    taken before the rewrite; patterns apply in fixed order. Pure JVM
+    regex — scan-speed at 100 TB."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
+    k = F.col("doc_id").cast("long")
+    aug = F.concat(
+        F.col("text"),
+        F.when(k % 3 == 0, F.format_string(" contact user%d@mail.example.com", k)).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.format_string(" from 10.%d.0.%d", k % 256, k % 250)).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.format_string(" call 555-%03d-%04d", k % 1000, k % 10000)).otherwise(F.lit("")),
+    )
+    out = T.redact_pii(docs.select(k.alias("doc_id"), aug.alias("text")))
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+def _oracle_pii_redact() -> str:
+    from hnormalise_spark.ops.textops import PII_PATTERNS
+
+    aug = """text
+        || CASE WHEN doc_id % 3 = 0 THEN printf(' contact user%d@mail.example.com', doc_id) ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN printf(' from 10.%d.0.%d', doc_id % 256, doc_id % 250) ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000) ELSE '' END"""
+    # progressive CTE chain: each class counts on the text the
+    # previous classes already redacted (mirrors redact_pii exactly)
+    ctes = [f"a0 AS (SELECT doc_id, {aug} AS t FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        keep = ", ".join(carried) + (", " if carried else "")
+        ctes.append(
+            f"a{i + 1} AS (SELECT doc_id, {keep}"
+            f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM a{i})"
+        )
+        carried.append(f"n_{name}")
+    last = len(PII_PATTERNS)
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT doc_id::BIGINT AS doc_id, {", ".join(carried)},
+           md5(t) AS redacted_md5
+    FROM a{last}
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + resharding (ops.packing)
+
+PACK_CTX = 256
+PACK_SHARDS = 8
+RESHARD_N = 16
+_HASH_SPAN_SQL = float(1 << 60)
+
+
+def _u_sql(key: str, salt: str) -> str:
+    """DuckDB twin of sampling.key_hash_unit(key, salt)."""
+    piece = f"{key}::VARCHAR || '|{salt}'" if salt else f"{key}::VARCHAR"
+    return f"(('0x' || substr(md5({piece}), 1, 15))::BIGINT / {_HASH_SPAN_SQL!r})"
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concat-then-chunk packing: per-shard token cumsum
+    assigns each doc the ctx-length block where it starts, its offset,
+    and the blocks it spans. Two-level (hash shard → local window) so
+    no global ordering exists anywhere in the plan."""
+    from hnormalise_spark.ops import packing as P
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    out = P.pack_sequences(docs, ctx=PACK_CTX, shards=PACK_SHARDS)
+    return out.select(
+        "doc_id", "shard", "n_tok", "block_id", "block_off", "n_blocks"
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    u = _u_sql("doc_id", "pack")
+    c, s = PACK_CTX, PACK_SHARDS
+    return f"""
+    WITH h AS (SELECT doc_id,
+                 floor({u} * {s})::INT AS shard,
+                 (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                  + 1)::BIGINT AS n_tok
+               FROM documents),
+    cum AS (SELECT *, coalesce(sum(n_tok) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM h)
+    SELECT doc_id::BIGINT AS doc_id, shard, n_tok,
+           (shard::BIGINT * 4294967296 + floor(cb / {c}))::BIGINT AS block_id,
+           (cb % {c})::BIGINT AS block_off,
+           (floor((cb + n_tok - 1) / {c}) - floor(cb / {c}) + 1)::BIGINT AS n_blocks
+    FROM cum
+    """
+
+
+def q_reshard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle into RESHARD_N shards: salted-hash
+    bucket + rank of the hash inside the shard. One hash-partition
+    shuffle + per-shard sort — the minimal physical work of any
+    resharding; order reproduces bit-identically on any engine."""
+    from hnormalise_spark.ops import packing as P
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
+    )
+    return P.reshard(docs, RESHARD_N).select("doc_id", "shard", "pos")
+
+
+def _oracle_reshard() -> str:
+    u = _u_sql("doc_id", "shard")
+    return f"""
+    WITH h AS (SELECT doc_id, {u} AS u FROM documents),
+    s AS (SELECT doc_id, u, floor(u * {RESHARD_N})::INT AS shard FROM h)
+    SELECT doc_id::BIGINT AS doc_id, shard,
+           (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1)::BIGINT AS pos
+    FROM s
+    """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building (tokenizer-training prep)
+
+VOCAB_K = 25  # below the corpus vocab size, so the top-K cut is real
+
+
+def q_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-K terms by total count (document
+    frequency carried alongside; ties broken by term). The
+    tokenizer-training first step. explode → (term, doc) tf agg →
+    term agg (map-side combine collapses both before their shuffles;
+    no per-term count_distinct state) → TakeOrderedAndProject — no
+    global sort."""
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    # (term, doc) tf first: the second agg then counts docs WITHOUT a
+    # count_distinct state per term — two cheap hash aggs, no join
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("n_total"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("term"))
+        .limit(VOCAB_K)
+    )
+
+
+def _oracle_vocab_topk() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                  FROM documents),
+    tot AS (SELECT term, count(*)::BIGINT AS n_total FROM toks GROUP BY 1),
+    dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS n_docs FROM toks GROUP BY 1)
+    SELECT t.term, t.n_total, d.n_docs
+    FROM tot t JOIN dfreq d USING (term)
+    ORDER BY t.n_total DESC, t.term ASC
+    LIMIT {VOCAB_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1163,6 +1390,11 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "sample_split": q_sample_split,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
+        "pack_sequences": q_pack_sequences,
+        "reshard": q_reshard,
+        "vocab_topk": q_vocab_topk,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1191,6 +1423,11 @@ def oracle_sql():
         "embedding_neardup": _oracle_embedding_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "sample_split": _oracle_sample_split(),
+        "decontaminate": _oracle_decontaminate(),
+        "pii_redact": _oracle_pii_redact(),
+        "pack_sequences": _oracle_pack_sequences(),
+        "reshard": _oracle_reshard(),
+        "vocab_topk": _oracle_vocab_topk(),
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),

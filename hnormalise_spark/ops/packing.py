@@ -1,0 +1,88 @@
+"""Token-budget sequence packing and deterministic resharding — the
+two order-defining steps of a training-data pipeline.
+
+``pack_sequences`` is the GPT-style pack: concatenate documents in a
+deterministic order (one EOD token between docs) and cut the token
+stream into fixed ``ctx``-length blocks. Each document therefore gets
+the block id where it starts, its token offset inside that block, and
+how many blocks it spans. Publicly described in the GPT-2/3 and
+Megatron data pipelines; no reference analogue (LLM-pipeline
+extension, SURVEY §2.7).
+
+Scale shape: a single global token cumsum would serialize on one
+ordering, so packing is **two-level** — documents hash into ``shards``
+independent streams (the unit a real pipeline writes as one output
+file), and the cumulative sum runs per shard: ``shards`` independent
+window partitions, each sorted locally after ONE hash shuffle. Block
+ids are globally unique via ``shard * 2^32 + local_block``.
+
+``reshard`` is the deterministic global shuffle used to fix a training
+order: shard = salted-hash bucket of the key, position = rank of the
+hash inside the shard. Re-runs and other engines reproduce the exact
+order (md5-based, partitioning-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hnormalise_spark.ops.sampling import key_hash_unit
+from hnormalise_spark.ops.textops import token_count
+
+_BLOCK_SPAN = 1 << 32
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shards: int = 8,
+) -> DataFrame:
+    """Assign every document its pack location under concat-then-chunk
+    packing with context length ``ctx``.
+
+    Adds: ``shard``, ``n_tok`` (tokens incl. one EOD), ``block_id``
+    (globally unique id of the block where the doc starts),
+    ``block_off`` (token offset inside that block), ``n_blocks``
+    (blocks the doc touches). Order inside a shard is ascending
+    ``key_col`` — deterministic and engine-portable."""
+    shard = F.floor(key_hash_unit(F.col(key_col), "pack") * shards).cast("int")
+    n_tok = (token_count(F.col(text_col)) + F.lit(1)).cast("long")  # +1 EOD
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumns({"shard": shard, "n_tok": n_tok}).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    first_blk = F.floor(F.col("cum_before") / ctx)
+    last_blk = F.floor((F.col("cum_before") + F.col("n_tok") - 1) / ctx)
+    return (
+        out.withColumn(
+            "block_id", (F.col("shard").cast("long") * _BLOCK_SPAN + first_blk)
+        )
+        .withColumn("block_off", (F.col("cum_before") % ctx).cast("long"))
+        .withColumn("n_blocks", (last_blk - first_blk + 1).cast("long"))
+        .drop("cum_before")
+    )
+
+
+def reshard(
+    df: DataFrame, shards: int, key_col: str = "doc_id", salt: str = "shard"
+) -> DataFrame:
+    """Deterministic shuffle-and-split: ``shard`` = hash bucket,
+    ``pos`` = 0-based rank of the salted hash within the shard (ties
+    broken by the key, so the order is total). One hash-partition
+    shuffle + per-shard local sort — exactly the physical work any
+    resharding must do; nothing global."""
+    u = key_hash_unit(F.col(key_col), salt)
+    w = Window.partitionBy("shard").orderBy("u", key_col)
+    return (
+        df.withColumn("u", u)
+        .withColumn("shard", F.floor(F.col("u") * shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("u")
+    )

@@ -95,6 +95,36 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
 
+# PII patterns shared by the Spark op and the DuckDB oracle. Kept to
+# the Java-regex ∩ RE2 dialect (no backrefs, no lookaround) so both
+# engines match the exact same spans.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholders, and count the redactions per class.
+
+    The standard pre-training privacy pass (publicly described for
+    C4, Dolma, and most open corpora). Patterns apply in a fixed
+    order (email → ip → phone) and each class is COUNTED on the text
+    the previous classes already redacted, so a span consumed by an
+    earlier class (an email whose dashed local part looks like a
+    phone number) is never double-counted. Pure JVM regex per row —
+    no UDF, no shuffle; at 100 TB this runs at scan speed inside the
+    same stage as the read."""
+    red = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = F.regexp_count(red, F.lit(pat)).cast("long")
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumns({**counts, "text_redacted": red})
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: counts, ratios, quality, language, print."""
     t = F.col(text_col)

@@ -1,0 +1,199 @@
+"""Round-4 LLM-pipeline operators: decontamination, PII redaction,
+sequence packing, resharding — unit semantics plus the plan shapes
+(broadcast decontamination join, shuffle counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from hnormalise_spark.ops import decontam as D
+
+    eight = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [
+            (1, eight + " tail words here"),          # contains the eval 8-gram
+            (2, "totally different words one two three four five six"),
+            (3, "x " + eight),                         # 8-gram at offset 2
+            (4, "a b c d e f g"),                      # only 7 words: no 8-gram
+        ],
+    )
+    ev = D.eval_ngram_hashes(_docs(spark, [(99, eight)]), "text", 8)
+    out = {
+        r["doc_id"]: (r["contaminated"], r["n_eval_hits"])
+        for r in D.decontaminate(docs, ev, n=8).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+    assert out[3] == (1, 1)
+    assert out[4] == (0, 0)
+
+
+def test_decontaminate_counts_distinct_hits_once(spark):
+    from hnormalise_spark.ops import decontam as D
+
+    g = "a b c d e f g h"
+    # the same eval gram appears twice in one doc -> ONE distinct hit
+    docs = _docs(spark, [(1, g + " " + g)])
+    ev = D.eval_ngram_hashes(_docs(spark, [(9, g)]), "text", 8)
+    row = D.decontaminate(docs, ev, n=8).collect()[0]
+    assert row["n_eval_hits"] == 1 and row["contaminated"] == 1
+
+
+def test_decontaminate_short_text_empty_grams(spark):
+    from hnormalise_spark.ops.decontam import word_ngram_hashes
+
+    df = spark.createDataFrame([("a b",), ("",), ("   ",)], "t string")
+    sizes = [
+        r["n"]
+        for r in df.select(F.size(word_ngram_hashes(F.col("t"), 8)).alias("n")).collect()
+    ]
+    assert sizes == [0, 0, 0]
+
+
+def test_decontaminate_plan_broadcasts_eval_set(spark):
+    from hnormalise_spark.ops import decontam as D
+
+    docs = _docs(spark, [(1, "a b c d e f g h i")])
+    ev = D.eval_ngram_hashes(docs, "text", 8)
+    plan = _plan(D.decontaminate(docs, ev, n=8))
+    # the corpus side must never shuffle: eval grams and the hit table
+    # both attach as broadcasts
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+
+
+def test_redact_pii_masks_and_counts(spark):
+    from hnormalise_spark.ops.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me first.last+x@sub.example.org now"),
+            (2, "host 10.1.255.3 and 192.168.0.1 up"),
+            (3, "call 555-123-4567 or 555 987 6543"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["text_redacted"]
+    assert "@" not in out[1]["text_redacted"]
+    assert out[2]["n_ip"] == 2 and out[2]["text_redacted"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 2 and out[3]["text_redacted"].count("<PHONE>") == 2
+    r4 = out[4]
+    assert (r4["n_email"], r4["n_ip"], r4["n_phone"]) == (0, 0, 0)
+    assert r4["text_redacted"] == "clean text with no pii at all"
+
+
+def test_redact_pii_no_double_count_across_classes(spark):
+    from hnormalise_spark.ops.textops import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            # dashed local part looks like a phone number: the email
+            # pass consumes it first, the phone count sees <EMAIL>
+            (1, "reach 555-123-4567@corp.example.com today"),
+            # numeric-host "@" junk is NOT an email (no alpha TLD);
+            # both dotted quads redact as IPs
+            (2, "x 1.2.3.4@5.6.7.8 y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"]) == (1, 0)
+    assert r1["text_redacted"] == "reach <EMAIL> today"
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ip"]) == (0, 2)
+    assert r2["text_redacted"] == "x <IP>@<IP> y"
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+
+
+def test_pack_sequences_cumsum_invariants(spark):
+    from hnormalise_spark.ops import packing as P
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i % 13 + 1))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = P.pack_sequences(docs, ctx=16, shards=4).collect()
+    assert len(out) == 200
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        assert r["n_tok"] == r["doc_id"] % 13 + 2  # words + EOD
+        assert 0 <= r["block_off"] < 16
+        assert r["n_blocks"] >= 1
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            first = r["block_id"] - r["shard"] * (1 << 32)
+            assert first == cum // 16
+            assert r["block_off"] == cum % 16
+            assert r["n_blocks"] == (cum + r["n_tok"] - 1) // 16 - cum // 16 + 1
+            cum += r["n_tok"]
+
+
+def test_pack_sequences_deterministic(spark):
+    from hnormalise_spark.ops import packing as P
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, P.pack_sequences(docs, ctx=8).collect()))
+    b = sorted(map(tuple, P.pack_sequences(docs.repartition(7), ctx=8).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# resharding
+
+
+def test_reshard_dense_positions_and_determinism(spark):
+    from hnormalise_spark.ops import packing as P
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = P.reshard(docs, 8).collect()
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    total = 0
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+        total += len(poss)
+    assert total == 300
+    again = P.reshard(docs.repartition(5), 8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_reshard_single_exchange(spark):
+    from hnormalise_spark.ops import packing as P
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    plan = _plan(P.reshard(docs, 8))
+    assert plan.count("Exchange") == 1
