@@ -50,6 +50,86 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against a persisted fingerprint index
+
+FP_BUCKETS = 64
+
+
+def fingerprint_bucket(fp: Column, buckets: int = FP_BUCKETS) -> Column:
+    """Bounded partition key from the md5 fingerprint's first 2 hex
+    chars — uniform, engine-portable, and a sane directory count (a
+    partition per fingerprint would be the small-files failure mode)."""
+    return F.pmod(F.conv(F.substring(fp, 1, 2), 16, 10).cast("int"), F.lit(buckets))
+
+
+def build_fingerprint_index(
+    df: DataFrame,
+    index_path: str,
+    snapshot_id: str = "base",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = FP_BUCKETS,
+) -> None:
+    """Materialize the historical-corpus dedup index ONCE through the
+    snapshot table layer: one row per distinct fingerprint with its
+    keeper id, partitioned by ``fp_bucket``. Committed + resumable
+    (re-running is a no-op); incremental history growth appends new
+    snapshots and ``dedup_against_index`` reads their union."""
+    from hnormalise_spark import table as T
+
+    agg = (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col).alias("keeper_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .withColumn("fp_bucket", fingerprint_bucket(F.col("fingerprint"), buckets))
+    )
+    T.write_snapshot(agg, index_path, snapshot_id, partition_by=("fp_bucket",))
+
+
+def dedup_against_index(
+    spark,
+    df_new: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = FP_BUCKETS,
+    prune: bool = True,
+) -> DataFrame:
+    """Flag rows of a NEW batch that already exist in the persisted
+    historical index — the incremental-ingestion dedup shape: at
+    100 TB the history is orders of magnitude larger than any batch,
+    so it must never be re-fingerprinted; the batch fingerprints
+    equi-join the (1 row per fingerprint) index, and when the batch
+    covers few buckets the index scan is partition-PRUNED to them.
+
+    Adds ``fingerprint``, ``is_known_dup`` (int), ``dup_of`` (the
+    historical keeper id, null for novel rows). Batch-internal
+    duplicates are left to ``exact_dedup`` — the two compose."""
+    from hnormalise_spark import table as T
+
+    new = df_new.withColumn(
+        "fingerprint", F.md5(normalized_text(F.col(text_col)))
+    ).withColumn("fp_bucket", fingerprint_bucket(F.col("fingerprint"), buckets))
+    hist = T.read_committed(spark, index_path)
+    if prune:
+        # tiny driver-side collect (≤ buckets values) that turns into a
+        # partition filter on the index scan
+        bks = [r[0] for r in new.select("fp_bucket").distinct().collect()]
+        hist = hist.filter(F.col("fp_bucket").isin(bks))
+    joined = new.drop("fp_bucket").join(
+        hist.select("fingerprint", F.col("keeper_id").alias("dup_of")),
+        "fingerprint",
+        "left",
+    )
+    return joined.withColumn(
+        "is_known_dup", F.col("dup_of").isNotNull().cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + MinHash
 
 

@@ -1145,6 +1145,101 @@ def _oracle_tokens_roundtrip() -> str:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup against the persisted fingerprint index (ops.dedup)
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingestion dedup: the full documents table is the
+    committed HISTORY (fingerprint index built once through the
+    snapshot layer; re-runs resume as no-ops), and a synthetic new
+    batch — normalisation-equivalent rewrites of every 7th doc plus
+    novel suffixed texts for every 11th — probes it. History is never
+    re-fingerprinted; the batch equi-joins the 1-row-per-fingerprint
+    index with the scan pruned to the batch's fp buckets."""
+    from hnormalise_spark.ops import dedup as D
+
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    idx = f"/tmp/hnorm_fp_index_{tag}_{D.FP_BUCKETS}b"
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    D.build_fingerprint_index(docs, idx, "base")
+    k = F.col("doc_id")
+    dups = docs.filter(k % 7 == 0).select(
+        (k + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+    )
+    novel = docs.filter(k % 11 == 0).select(
+        (k + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novel suffix "), k.cast("string")).alias("text"),
+    )
+    batch = dups.unionByName(novel)
+    out = D.dedup_against_index(spark, batch, idx)
+    return out.select("doc_id", "is_known_dup", F.col("dup_of").cast("long").alias("dup_of"))
+
+
+def _oracle_dedup_incremental() -> str:
+    norm = "md5(lower(trim(regexp_replace({t}, '\\s+', ' ', 'g'))))"
+    return f"""
+    WITH hist AS (SELECT {norm.format(t="text")} AS fp, min(doc_id)::BIGINT AS keeper
+                  FROM documents GROUP BY 1),
+    batch AS (
+      SELECT doc_id + 100000 AS doc_id, '  ' || upper(text) AS text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' novel suffix ' || doc_id::VARCHAR
+      FROM documents WHERE doc_id % 11 = 0),
+    j AS (SELECT b.doc_id, h.keeper
+          FROM batch b LEFT JOIN hist h ON {norm.format(t="b.text")} = h.fp)
+    SELECT doc_id::BIGINT AS doc_id,
+           (keeper IS NOT NULL)::INT AS is_known_dup,
+           keeper AS dup_of
+    FROM j
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus length statistics (ops.textops.doclen_stats)
+
+DLS_PS = (0.1, 0.5, 0.9)
+
+
+def q_doclen_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language document-length profile with EXACT rank-selected
+    quantiles (floor((n-1)*p) of the ascending sort — an observed
+    value, not an interpolation, so every engine agrees). One shuffle:
+    the rank window and the aggregate share the lang partitioning."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
+    return T.doclen_stats(docs, group_col="lang", ps=DLS_PS)
+
+
+def _oracle_doclen_stats() -> str:
+    qcols = ", ".join(
+        f"max(CASE WHEN rn = floor((n - 1) * {p!r}) THEN n_tok END) AS p{int(round(p * 100)):02d}"
+        for p in DLS_PS
+    )
+    return f"""
+    WITH t AS (SELECT lang,
+                 (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tok
+               FROM documents),
+    r AS (SELECT lang, n_tok,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_tok) - 1 AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM t)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           min(n_tok) AS min_tok, max(n_tok) AS max_tok,
+           floor(sum(n_tok)::BIGINT * 10000.0 / count(*) + 0.5)::BIGINT AS mean_tok_x1e4,
+           {qcols}
+    FROM r GROUP BY lang
+    """
+
+
+# ---------------------------------------------------------------------------
 # decontamination (ops.decontam)
 
 DECON_N = 8  # word n-gram size; doc_id % 37 == 0 docs form the eval set
@@ -1390,6 +1485,8 @@ def queries():
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "sample_split": q_sample_split,
+        "dedup_incremental": q_dedup_incremental,
+        "doclen_stats": q_doclen_stats,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -1423,6 +1520,8 @@ def oracle_sql():
         "embedding_neardup": _oracle_embedding_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "sample_split": _oracle_sample_split(),
+        "dedup_incremental": _oracle_dedup_incremental(),
+        "doclen_stats": _oracle_doclen_stats(),
         "decontaminate": _oracle_decontaminate(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),

@@ -125,6 +125,54 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({**counts, "text_redacted": red})
 
 
+def doclen_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    ps: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> DataFrame:
+    """Per-group document-length statistics with EXACT quantiles —
+    the corpus profile every pipeline stage gates on (length filters,
+    packing ctx choice, per-language budgets).
+
+    Quantile definition: value at 0-based rank ``floor((n-1)*p)`` of
+    the ascending sort — rank selection, not interpolation, so the
+    result is an actual observed value and identical on every engine
+    (approx_percentile/quantile_cont interpolate differently across
+    engines). Ties need no tiebreak: equal ranks of equal values
+    yield the same output.
+
+    Scale shape: ONE shuffle on the group key — the rank window and
+    the final aggregate share the same partitioning, so Catalyst
+    plans a single Exchange; nothing global, no driver collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("n_tok")
+    ranked = df.select(
+        F.col(group_col), token_count(F.col(text_col)).cast("long").alias("n_tok")
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w) - 1,
+            "n": F.count(F.lit(1)).over(Window.partitionBy(group_col)),
+        }
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tok").alias("min_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.floor(F.sum("n_tok") * 10000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mean_tok_x1e4"),
+    ]
+    for p in ps:
+        tag = f"p{int(round(p * 100)):02d}"
+        target = F.floor((F.col("n") - 1) * F.lit(p))
+        aggs.append(
+            F.max(F.when(F.col("rn") == target, F.col("n_tok"))).alias(tag)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: counts, ratios, quality, language, print."""
     t = F.col(text_col)

@@ -197,3 +197,74 @@ def test_reshard_single_exchange(spark):
     docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     plan = _plan(P.reshard(docs, 8))
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against the persisted fingerprint index
+
+
+def test_dedup_against_index_flags_known_and_novel(spark, tmp_path):
+    from hnormalise_spark.ops import dedup as D
+
+    idx = str(tmp_path / "fpidx")
+    hist = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark rows"), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    D.build_fingerprint_index(hist, idx)
+    # resume: rebuilding is a committed no-op
+    D.build_fingerprint_index(hist, idx)
+    batch = spark.createDataFrame(
+        [
+            (100, "  HELLO   world "),   # normalises to a known fingerprint
+            (101, "brand new text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.dedup_against_index(spark, batch, idx).collect()}
+    assert out[100]["is_known_dup"] == 1 and out[100]["dup_of"] == 1
+    assert out[101]["is_known_dup"] == 0 and out[101]["dup_of"] is None
+
+
+def test_dedup_against_index_prunes_partitions(spark, tmp_path):
+    from hnormalise_spark.ops import dedup as D
+
+    idx = str(tmp_path / "fpidx")
+    hist = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(64)], "doc_id long, text string"
+    )
+    D.build_fingerprint_index(hist, idx)
+    batch = spark.createDataFrame([(99, "text number 7")], "doc_id long, text string")
+    df = D.dedup_against_index(spark, batch, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "fp_bucket" in plan.split("PartitionFilters:")[1][:200]
+    assert df.collect()[0]["dup_of"] == 7
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles
+
+
+def test_doclen_stats_exact_rank_quantiles(spark):
+    from hnormalise_spark.ops.textops import doclen_stats
+
+    rows = [(f"d{i}", "a", " ".join(["w"] * i)) for i in range(1, 11)]
+    rows.append(("s", "b", "one two three"))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = {r["lang"]: r for r in doclen_stats(df).collect()}
+    a = out["a"]
+    # n_tok 1..10: rank selection floor((n-1)*p) of the ascending sort
+    assert (a["n_docs"], a["min_tok"], a["max_tok"]) == (10, 1, 10)
+    assert (a["p10"], a["p50"], a["p90"]) == (1, 5, 9)
+    assert a["mean_tok_x1e4"] == 55000
+    b = out["b"]
+    assert (b["p10"], b["p50"], b["p90"]) == (3, 3, 3)
+
+
+def test_doclen_stats_single_exchange(spark):
+    from hnormalise_spark.ops.textops import doclen_stats
+
+    df = spark.createDataFrame([("d", "a", "x y")], "doc_id string, lang string, text string")
+    plan = doclen_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
