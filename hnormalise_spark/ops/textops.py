@@ -144,13 +144,17 @@ def doclen_stats(
 
     Scale shape: ONE shuffle on the group key — the rank window and
     the final aggregate share the same partitioning, so Catalyst
-    plans a single Exchange; nothing global, no driver collect."""
+    plans a single Exchange; nothing global, no driver collect.
+
+    NULL text rows are excluded up front (a null length has no rank;
+    leaving them in would shift every quantile target while min/max/
+    sum silently skip them — inconsistent stats)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy("n_tok")
     ranked = df.select(
         F.col(group_col), token_count(F.col(text_col)).cast("long").alias("n_tok")
-    ).withColumns(
+    ).filter(F.col("n_tok").isNotNull()).withColumns(
         {
             "rn": F.row_number().over(w) - 1,
             "n": F.count(F.lit(1)).over(Window.partitionBy(group_col)),

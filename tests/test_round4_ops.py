@@ -268,3 +268,37 @@ def test_doclen_stats_single_exchange(spark):
     df = spark.createDataFrame([("d", "a", "x y")], "doc_id string, lang string, text string")
     plan = doclen_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# null-text behaviour (documented: null-in-null-out for row-level ops,
+# null rows excluded from corpus stats)
+
+
+def test_round4_ops_null_text(spark):
+    from hnormalise_spark.ops import packing as P
+    from hnormalise_spark.ops.decontam import word_ngram_hashes
+    from hnormalise_spark.ops.textops import doclen_stats, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "three word text", "a"), (2, None, "a"), (3, "x y", "a")],
+        "doc_id long, text string, lang string",
+    )
+    # redaction propagates null
+    r = {x["doc_id"]: x for x in redact_pii(df).collect()}
+    assert r[2]["text_redacted"] is None and r[2]["n_email"] is None
+    # n-gram hashes of null text: empty array (a null doc has no
+    # grams, so it can never be flagged contaminated)
+    g = df.select(F.size(word_ngram_hashes(F.col("text"), 2)).alias("n")).collect()
+    assert sorted(x["n"] for x in g) == [0, 1, 2]
+    # packing: a null doc occupies no tokens (n_tok/n_blocks null) but
+    # still has a well-defined start position; the cumsum skips it
+    packed = {x["doc_id"]: x for x in P.pack_sequences(df, ctx=8, shards=1).collect()}
+    assert packed[2]["n_tok"] is None and packed[2]["n_blocks"] is None
+    assert packed[1]["n_tok"] == 4 and packed[3]["n_tok"] == 3
+    assert packed[1]["block_off"] == 0  # doc order 1, 2, 3 in the shard
+    assert packed[2]["block_off"] == 4  # starts after doc 1...
+    assert packed[3]["block_off"] == 4  # ...and doc 3 starts at the same spot
+    # corpus stats: null rows excluded entirely
+    s = doclen_stats(df).collect()[0]
+    assert s["n_docs"] == 2 and (s["min_tok"], s["max_tok"]) == (2, 3)
