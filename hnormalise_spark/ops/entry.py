@@ -1394,6 +1394,48 @@ def _oracle_pack_sequences() -> str:
     """
 
 
+MIX_WEIGHTS = {"en": 2.0, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.5}
+
+
+def q_mix_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted data mixing over the documents table
+    (language as the source dimension): stride-scheduled interleave,
+    en twice as frequent as de/fr, those twice es/zh. No repetition,
+    no global ordering — per-shard streams, two hash shuffles."""
+    from hnormalise_spark.ops import packing as P
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang"
+        )
+    )
+    out = P.mix_sources(docs, MIX_WEIGHTS, source_col="lang", shards=PACK_SHARDS)
+    return out.select(
+        "doc_id", "lang", "shard",
+        F.floor(F.col("vt") * 1000000.0 + F.lit(0.5)).cast("long").alias("vt_x1e6"),
+        "pos",
+    )
+
+
+def _oracle_mix_sources() -> str:
+    u = _u_sql("doc_id", "mix")
+    wcase = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in MIX_WEIGHTS.items()
+    ) + " ELSE NULL END"
+    return f"""
+    WITH h AS (SELECT doc_id, lang, {u} AS u, {wcase} AS w FROM documents),
+    s AS (SELECT doc_id, lang, u, w, floor(u * {PACK_SHARDS})::INT AS shard
+          FROM h WHERE w IS NOT NULL),
+    r AS (SELECT doc_id, lang, shard,
+                 (row_number() OVER (PARTITION BY shard, lang ORDER BY u, doc_id))::DOUBLE / w AS vt
+          FROM s)
+    SELECT doc_id::BIGINT AS doc_id, lang, shard,
+           floor(vt * 1000000.0 + 0.5)::BIGINT AS vt_x1e6,
+           (row_number() OVER (PARTITION BY shard ORDER BY vt, lang, doc_id) - 1)::BIGINT AS pos
+    FROM r
+    """
+
+
 def q_reshard(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic global shuffle into RESHARD_N shards: salted-hash
     bucket + rank of the hash inside the shard. One hash-partition
@@ -1490,6 +1532,7 @@ def queries():
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
+        "mix_sources": q_mix_sources,
         "reshard": q_reshard,
         "vocab_topk": q_vocab_topk,
         "events_rollup": q_events_rollup,
@@ -1525,6 +1568,7 @@ def oracle_sql():
         "decontaminate": _oracle_decontaminate(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
+        "mix_sources": _oracle_mix_sources(),
         "reshard": _oracle_reshard(),
         "vocab_topk": _oracle_vocab_topk(),
         "events_rollup": _oracle_events_rollup(),

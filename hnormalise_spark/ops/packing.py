@@ -70,6 +70,49 @@ def pack_sequences(
     )
 
 
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    shards: int = 8,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into a training
+    order — the "data mixing weights" step (publicly described for
+    GPT-3 / The Pile / LLaMA corpora): a source with weight w appears
+    w times as often per unit of output as a weight-1 source.
+
+    Stride scheduling: within a shard, the i-th doc of source s (1-
+    based rank of its salted hash) gets virtual time ``i / w_s``;
+    the output order is ascending virtual time (ties: source, key).
+    Sources absent from ``weights`` are dropped. No document is
+    repeated — weights set interleave frequency, not duplication.
+
+    Scale shape: two hash shuffles and nothing global — ranks need
+    (shard, source) partitions, positions need (shard); each of the
+    ``shards`` output streams interleaves independently (the unit a
+    real pipeline writes as one file). Deterministic: every rank and
+    position is a pure function of md5(key), so any engine, run, or
+    partitioning reproduces the same order."""
+    wexpr = None
+    for sname, wt in weights.items():
+        cond = F.col(source_col) == F.lit(sname)
+        wexpr = F.when(cond, float(wt)) if wexpr is None else wexpr.when(cond, float(wt))
+    u = key_hash_unit(F.col(key_col), salt)
+    wr = Window.partitionBy("shard", source_col).orderBy("u", key_col)
+    wp = Window.partitionBy("shard").orderBy("vt", source_col, key_col)
+    return (
+        df.withColumn("w", wexpr)
+        .filter(F.col("w").isNotNull())
+        .withColumn("u", u)
+        .withColumn("shard", F.floor(F.col("u") * shards).cast("int"))
+        .withColumn("vt", F.row_number().over(wr).cast("double") / F.col("w"))
+        .withColumn("pos", (F.row_number().over(wp) - 1).cast("long"))
+        .drop("u", "w")
+    )
+
+
 def reshard(
     df: DataFrame, shards: int, key_col: str = "doc_id", salt: str = "shard"
 ) -> DataFrame:

@@ -302,3 +302,46 @@ def test_round4_ops_null_text(spark):
     # corpus stats: null rows excluded entirely
     s = doclen_stats(df).collect()[0]
     assert s["n_docs"] == 2 and (s["min_tok"], s["max_tok"]) == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# weighted source mixing
+
+
+def test_mix_sources_stride_ratio_and_determinism(spark):
+    from hnormalise_spark.ops import packing as P
+
+    rows = [(i, "a") for i in range(120)] + [(1000 + i, "b") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = P.mix_sources(docs, {"a": 2.0, "b": 1.0}, shards=1)
+    ordered = [r["source"] for r in out.orderBy("pos").collect()]
+    # weight 2 source appears ~2x as often in any early window of the
+    # interleave (until a runs dry)
+    head = ordered[:90]
+    assert abs(head.count("a") / max(head.count("b"), 1) - 2.0) < 0.35
+    # virtual-time math: i-th doc of source s at vt = i / w_s
+    vts = {(r["source"], r["pos"]): r["vt"] for r in out.collect()}
+    a_vts = sorted(v for (s, _), v in vts.items() if s == "a")
+    assert a_vts[:4] == [0.5, 1.0, 1.5, 2.0]
+    # unknown sources are dropped
+    docs2 = spark.createDataFrame([(1, "a"), (2, "zz")], "doc_id long, source string")
+    assert P.mix_sources(docs2, {"a": 1.0}, shards=1).count() == 1
+    # deterministic under repartitioning
+    x = sorted(map(tuple, out.collect()))
+    y = sorted(map(tuple, P.mix_sources(docs.repartition(7), {"a": 2.0, "b": 1.0}, shards=1).collect()))
+    assert x == y
+
+
+def test_mix_sources_positions_dense_per_shard(spark):
+    from hnormalise_spark.ops import packing as P
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(200)], "doc_id long, source string"
+    )
+    out = P.mix_sources(docs, {"a": 1.0, "b": 3.0}, shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
