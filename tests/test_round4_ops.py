@@ -345,3 +345,36 @@ def test_mix_sources_positions_dense_per_shard(spark):
     assert sum(len(v) for v in by_shard.values()) == 200
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+# ---------------------------------------------------------------------------
+# streaming parity: the row-level round-4 ops are stateless projections,
+# so they compose with Structured Streaming unchanged
+
+
+def test_redact_pii_stream_equals_batch(spark, tmp_path):
+    import os
+
+    from hnormalise_spark.ops.textops import redact_pii
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df = spark.createDataFrame(
+        [(i, f"doc {i} mail u{i}@x{i}.example.com ip 10.0.0.{i % 250}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        redact_pii(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, redact_pii(df).collect()))
+    assert got == want and len(got) == 40
