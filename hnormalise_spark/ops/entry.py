@@ -1201,6 +1201,38 @@ def _oracle_dedup_incremental() -> str:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer-training first iteration (ops.textops.bpe_pair_counts)
+
+BPE_K = 30
+
+
+def q_bpe_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K BPE merge candidates (adjacent char-pair counts) over the
+    documents corpus. Corpus-sized work is only the word count; pair
+    explosion runs on the vocabulary."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    )
+    return T.bpe_pair_counts(docs, k=BPE_K)
+
+
+def _oracle_bpe_pairs() -> str:
+    return f"""
+    WITH words AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                   FROM documents),
+    vocab AS (SELECT word, count(*)::BIGINT AS wc FROM words WHERE word <> '' GROUP BY 1),
+    pairs AS (SELECT substr(word, i, 2) AS pair, wc
+              FROM vocab, UNNEST(range(1, length(word))) AS t(i)
+              WHERE length(word) >= 2)
+    SELECT pair, sum(wc)::BIGINT AS n_pairs
+    FROM pairs GROUP BY 1
+    ORDER BY n_pairs DESC, pair ASC LIMIT {BPE_K}
+    """
+
+
+# ---------------------------------------------------------------------------
 # corpus length statistics (ops.textops.doclen_stats)
 
 DLS_PS = (0.1, 0.5, 0.9)
@@ -1535,6 +1567,7 @@ def queries():
         "mix_sources": q_mix_sources,
         "reshard": q_reshard,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1571,6 +1604,7 @@ def oracle_sql():
         "mix_sources": _oracle_mix_sources(),
         "reshard": _oracle_reshard(),
         "vocab_topk": _oracle_vocab_topk(),
+        "bpe_pairs": _oracle_bpe_pairs(),
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),

@@ -125,6 +125,39 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns({**counts, "text_redacted": red})
 
 
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", k: int = 30) -> DataFrame:
+    """Top-K adjacent character-pair counts — the first iteration of
+    BPE tokenizer training (publicly described in Sennrich et al. 2016
+    and the GPT-2 tokenizer): the highest-count pair is the next merge.
+
+    The BPE scale trick is preserved: corpus-sized work is ONLY the
+    word count (explode → map-side-combined groupBy); pair counting
+    then runs over the VOCABULARY (orders of magnitude smaller),
+    weighting each within-word pair occurrence by the word's corpus
+    count. Top-K via TakeOrdered, ties broken by pair."""
+    t = F.trim(F.col(text_col))
+    words = df.select(F.explode(F.split(t, r"\s+")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    ln = F.length("word")
+    pair_idx = F.when(ln >= 2, F.sequence(F.lit(1), ln - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = vocab.select(
+        "wc",
+        F.explode(
+            F.transform(pair_idx, lambda i: F.substring(F.col("word"), i, 2))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("pair"))
+        .limit(k)
+    )
+
+
 def doclen_stats(
     df: DataFrame,
     text_col: str = "text",

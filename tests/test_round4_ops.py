@@ -378,3 +378,28 @@ def test_redact_pii_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, redact_pii(df).collect()))
     assert got == want and len(got) == 40
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training first iteration)
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from hnormalise_spark.ops.textops import bpe_pair_counts
+
+    # "ab" x3 (one doc has it twice), "abc" x1, single char "z" ignored
+    df = spark.createDataFrame(
+        [(1, "ab ab z"), (2, "ab abc")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["n_pairs"] for r in bpe_pair_counts(df, k=10).collect()}
+    # vocab: ab(wc=3) -> pair 'ab' x3; abc(wc=1) -> 'ab','bc'
+    assert out == {"ab": 4, "bc": 1}
+
+
+def test_bpe_pair_counts_within_word_repeats(spark):
+    from hnormalise_spark.ops.textops import bpe_pair_counts
+
+    # 'aaa' contains the pair 'aa' twice (true BPE occurrence counting)
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out = {r["pair"]: r["n_pairs"] for r in bpe_pair_counts(df).collect()}
+    assert out == {"aa": 2}
