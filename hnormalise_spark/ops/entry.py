@@ -1541,6 +1541,113 @@ def _oracle_vocab_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# end-to-end training-data pipeline (composition flagship)
+
+TP_MIN_TOK, TP_MAX_TOK, TP_MIN_Q = 20, 400, 0.7
+TP_CTX, TP_SHARDS = 256, 4
+
+
+def q_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed LLM training-data pipeline over the documents
+    table: quality gate (token band + quality score) → exact dedup
+    (keepers only) → benchmark decontamination (drop any doc sharing
+    an 8-gram with the eval subset) → deterministic train split →
+    GPT-style sequence packing. Every stage is the REAL library
+    operator; the output is the final training-example manifest
+    (where each surviving doc lands in the packed token stream).
+
+    Scale shape is the union of the stages': per-row gates, one
+    fingerprint shuffle, broadcast decontamination, salted-hash
+    split, per-shard pack windows — nothing global end to end."""
+    from hnormalise_spark.ops import decontam as D
+    from hnormalise_spark.ops import dedup as X
+    from hnormalise_spark.ops import packing as P
+    from hnormalise_spark.ops import sampling as S
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    t = F.col("text")
+    gated = docs.filter(
+        T.token_count(t).between(TP_MIN_TOK, TP_MAX_TOK)
+        & (T.quality_score(t) >= TP_MIN_Q)
+    )
+    kept = (
+        X.exact_dedup(gated)
+        .filter(~F.col("is_dup"))
+        .drop("fingerprint", "group_size", "keeper_id", "is_dup")
+    )
+    ev = D.eval_ngram_hashes(docs.filter(F.col("doc_id") % 37 == 0), "text", DECON_N)
+    clean = (
+        D.decontaminate(kept, ev, n=DECON_N)
+        .filter(F.col("contaminated") == 0)
+        .drop("n_eval_hits", "contaminated")
+    )
+    train = S.hash_split(clean, SPLIT_BOUNDS, "doc_id").filter(
+        F.col("split") == "train"
+    )
+    packed = P.pack_sequences(train, ctx=TP_CTX, shards=TP_SHARDS)
+    return packed.select(
+        "doc_id", "shard", "n_tok", "block_id", "block_off", "n_blocks"
+    )
+
+
+def _oracle_training_pipeline() -> str:
+    n = DECON_N
+    u2 = _u_sql("doc_id", "split")
+    up = _u_sql("doc_id", "pack")
+    split = "CASE " + " ".join(
+        f"WHEN u2 >= {lo!r} AND u2 < {hi!r} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    ) + " END"
+    return f"""
+    WITH base AS (SELECT doc_id, text,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok_raw,
+        length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g')) AS n_punct,
+        greatest(length(text), 1) AS nlen
+      FROM documents),
+    gated AS (SELECT doc_id, text, n_tok_raw FROM base
+      WHERE n_tok_raw BETWEEN {TP_MIN_TOK} AND {TP_MAX_TOK}
+        AND ((n_alpha / nlen) * 0.6
+             + CASE WHEN n_tok_raw >= 5 AND n_tok_raw <= 10000 THEN 1.0 ELSE 0.3 END * 0.3
+             + (1.0 - least((n_punct / nlen) * 4, 1.0)) * 0.1) >= {TP_MIN_Q!r}),
+    fp AS (SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+           FROM gated),
+    kept AS (SELECT doc_id, text, n_tok_raw FROM
+               (SELECT *, min(doc_id) OVER (PARTITION BY f) AS keeper FROM fp)
+             WHERE doc_id = keeper),
+    words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents),
+    dg AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g
+           FROM words, UNNEST(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)),
+    ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % 37 = 0),
+    dirty AS (SELECT DISTINCT doc_id FROM dg JOIN ev USING (g)),
+    clean AS (SELECT k.* FROM kept k LEFT JOIN dirty d USING (doc_id)
+              WHERE d.doc_id IS NULL),
+    train AS (SELECT doc_id, n_tok_raw FROM
+                (SELECT *, {u2} AS u2 FROM clean)
+              WHERE {split} = 'train'),
+    sh AS (SELECT doc_id, (n_tok_raw + 1)::BIGINT AS n_tok,
+                  floor({up} * {TP_SHARDS})::INT AS shard
+           FROM train),
+    cum AS (SELECT *, coalesce(sum(n_tok) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM sh)
+    SELECT doc_id::BIGINT AS doc_id, shard, n_tok,
+           (shard::BIGINT * 4294967296 + floor(cb / {TP_CTX}))::BIGINT AS block_id,
+           (cb % {TP_CTX})::BIGINT AS block_off,
+           (floor((cb + n_tok - 1) / {TP_CTX}) - floor(cb / {TP_CTX}) + 1)::BIGINT AS n_blocks
+    FROM cum
+    """
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1561,6 +1668,7 @@ def queries():
         "sample_split": q_sample_split,
         "dedup_incremental": q_dedup_incremental,
         "doclen_stats": q_doclen_stats,
+        "training_pipeline": q_training_pipeline,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -1598,6 +1706,7 @@ def oracle_sql():
         "sample_split": _oracle_sample_split(),
         "dedup_incremental": _oracle_dedup_incremental(),
         "doclen_stats": _oracle_doclen_stats(),
+        "training_pipeline": _oracle_training_pipeline(),
         "decontaminate": _oracle_decontaminate(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
