@@ -403,3 +403,48 @@ def test_bpe_pair_counts_within_word_repeats(spark):
     df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
     out = {r["pair"]: r["n_pairs"] for r in bpe_pair_counts(df).collect()}
     assert out == {"aa": 2}
+
+
+# ---------------------------------------------------------------------------
+# composed training pipeline (q_training_pipeline invariants)
+
+
+def test_training_pipeline_composition_invariants(spark, tmp_path):
+    from hnormalise_spark.ops import entry as E
+    from hnormalise_spark.ops.textops import quality_score, token_count
+
+    sf = str(tmp_path)
+    letters = "abcdefghijklmnopqrstuvw"
+    # per-doc unique word prefix so no 8-gram crosses documents (the
+    # eval docs self-hit and drop; everything else stays clean)
+    rows = [
+        (
+            i,
+            " ".join(
+                letters[i % 23] + letters[(i // 23) % 23] + letters[j % 23]
+                for j in range(10 + i % 60)
+            ),
+        )
+        for i in range(200)
+    ]
+    rows.append((900, "x"))            # below the token band -> gated out
+    rows.append((901, rows[5][1]))     # exact dup of doc 5 -> dropped
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    out = E.q_training_pipeline(spark, sf).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 900 not in ids and 901 not in ids
+    # every survivor passes the quality gate
+    gated = {
+        r["doc_id"]
+        for r in docs.filter(
+            token_count(F.col("text")).between(E.TP_MIN_TOK, E.TP_MAX_TOK)
+            & (quality_score(F.col("text")) >= E.TP_MIN_Q)
+        ).collect()
+    }
+    assert ids <= gated and len(ids) > 50
+    # pack coordinates are well-formed
+    for r in out:
+        assert 0 <= r["block_off"] < E.TP_CTX
+        assert r["n_blocks"] >= 1 and 0 <= r["shard"] < E.TP_SHARDS
