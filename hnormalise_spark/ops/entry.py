@@ -1648,6 +1648,141 @@ def _oracle_training_pipeline() -> str:
 
 
 # ---------------------------------------------------------------------------
+# unigram LM scoring, repetition filters, cross-doc dup spans, BPE training
+# (ops.textops round-4 additions)
+
+DUP_SPAN_K = 3  # word k-gram size for the cross-doc duplicated-span pass
+
+
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style unigram LM scoring: train token counts on the
+    corpus (one map-side-combined shuffle), broadcast the vocab back
+    onto the exploded corpus, integer-micro-nat per-token NLL summed
+    per doc on a pre-explode doc partitioning."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.lm_unigram_score(docs)
+
+
+def _oracle_lm_score() -> str:
+    return """
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    tw AS (SELECT doc_id, unnest(w) AS t FROM base),
+    cnt AS (SELECT t, count(*) AS c FROM tw GROUP BY 1),
+    st AS (SELECT sum(c) AS tt, count(*) AS v FROM cnt),
+    sc AS (SELECT tw.doc_id,
+                  floor(-ln((cnt.c + 1.0) / (st.tt + st.v)) * 1000000.0 + 0.5)::BIGINT AS nll
+           FROM tw JOIN cnt USING (t) CROSS JOIN st)
+    SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tok,
+           sum(nll)::BIGINT AS sum_nll_x1e6,
+           floor(sum(nll)::DOUBLE / count(*))::BIGINT AS mean_nll_x1e6
+    FROM sc GROUP BY 1
+    """
+
+
+def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals (top-bigram /
+    top-trigram occupancy, duplicated-5-gram fraction); ONE Exchange —
+    doc-id repartition before the gram explode satisfies both the
+    count window and the final per-doc aggregate."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.repetition_stats(docs)
+
+
+def _oracle_repetition() -> str:
+    return """
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> ''
+                    AND len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+    toks AS (SELECT doc_id, len(w) AS n_tok, unnest(w) AS t,
+                    generate_subscripts(w, 1) AS pos
+             FROM base),
+    led AS (SELECT doc_id, n_tok, t,
+                   lead(t, 1) OVER wd AS t1, lead(t, 2) OVER wd AS t2,
+                   lead(t, 3) OVER wd AS t3, lead(t, 4) OVER wd AS t4
+            FROM toks WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+    grams AS (
+      SELECT doc_id, n_tok, 2 AS k, t || ' ' || t1 AS g FROM led WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n_tok, 3, t || ' ' || t1 || ' ' || t2 FROM led WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, n_tok, 5, t || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' || t4
+      FROM led WHERE t4 IS NOT NULL),
+    gc AS (SELECT doc_id, n_tok, k, g, count(*) AS c FROM grams GROUP BY 1, 2, 3, 4),
+    pk AS (SELECT doc_id, n_tok, k, max(c) AS topc, sum(c) AS n,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupn
+           FROM gc GROUP BY 1, 2, 3)
+    SELECT doc_id::BIGINT AS doc_id, max(n_tok)::BIGINT AS n_tok,
+           coalesce(max(CASE WHEN k = 2 THEN floor(topc * 1000000.0 / n + 0.5) END), 0)::BIGINT
+             AS top_bigram_frac_x1e6,
+           coalesce(max(CASE WHEN k = 3 THEN floor(topc * 1000000.0 / n + 0.5) END), 0)::BIGINT
+             AS top_trigram_frac_x1e6,
+           coalesce(max(CASE WHEN k = 5 THEN floor(dupn * 1000000.0 / n + 0.5) END), 0)::BIGINT
+             AS dup_5gram_frac_x1e6
+    FROM pk GROUP BY 1
+    """
+
+
+def q_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-doc duplicated word-3-gram spans (the n-gram
+    approximation of exact-substring dedup): count-distinct docs per
+    gram, join the one-row-per-gram verdict back, roll up per doc."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.dup_span_stats(docs, k=DUP_SPAN_K)
+
+
+def _oracle_dup_spans() -> str:
+    k = DUP_SPAN_K
+    return f"""
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> ''
+                    AND len(regexp_split_to_array(trim(text), '\\s+')) >= {k}),
+    spans AS (SELECT doc_id, array_to_string(w[i:i+{k - 1}], ' ') AS g
+              FROM base, UNNEST(range(1, len(w) - {k - 1} + 1)) AS u(i)),
+    gd AS (SELECT g, (count(DISTINCT doc_id) >= 2) AS dup FROM spans GROUP BY 1)
+    SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+           floor(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000.0 / count(*) + 0.5)::BIGINT
+             AS dup_span_frac_x1e6
+    FROM spans JOIN gd USING (g) GROUP BY 1
+    """
+
+
+def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterative BPE training (8 merges) — corpus touched once, loop
+    over the vocabulary. Genuinely iterative (each merge depends on
+    the previous), so no single-statement SQL oracle: the driver
+    records the rows-only check and pytest pins the merge sequence
+    against an independent pure-Python reference implementation."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    )
+    return T.bpe_train(docs, n_merges=8)
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -1676,6 +1811,10 @@ def queries():
         "reshard": q_reshard,
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
+        "lm_score": q_lm_score,
+        "repetition": q_repetition,
+        "dup_spans": q_dup_spans,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1714,6 +1853,12 @@ def oracle_sql():
         "reshard": _oracle_reshard(),
         "vocab_topk": _oracle_vocab_topk(),
         "bpe_pairs": _oracle_bpe_pairs(),
+        "lm_score": _oracle_lm_score(),
+        "repetition": _oracle_repetition(),
+        "dup_spans": _oracle_dup_spans(),
+        # bpe_train: iterative (merge i+1 depends on merge i) — no
+        # single-statement SQL form; pytest pins it against a pure-
+        # Python reference, the driver records rows-only.
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),

@@ -425,3 +425,310 @@ def bm25_topk_indexed(
         F.col("n_docs").alias("_n"), F.col("total_len").alias("_totlen")
     )
     return _bm25_score(tf, dfreq, stats, k, k1, b, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring, repetition filters, cross-doc duplicated spans,
+# iterative BPE training (round 4 additions)
+
+
+def _words(text_col: str) -> Column:
+    """Whitespace tokens of the trimmed text (no empties for non-blank
+    input; blank/NULL handled by callers)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def lm_unigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style unigram language-model scoring: train token
+    frequencies on the corpus itself, then score every document by
+    its add-one-smoothed negative log-likelihood (the standard
+    perplexity-flavoured quality gate for pre-training data).
+
+    Scale shape: the model is ONE map-side-combined shuffle
+    (explode → groupBy(token).count() collapses to vocabulary size
+    before the exchange); scoring broadcast-joins the vocab onto the
+    exploded corpus (vocab ≪ corpus; for a >8 GB vocabulary drop the
+    broadcast hint and Catalyst plans a shuffle join on the token —
+    the code path is otherwise identical), and the per-doc aggregate
+    runs on a doc-partitioning established BEFORE the explode, so the
+    corpus-sized exploded frame never shuffles.
+
+    Cross-engine determinism: each token's NLL is rounded to integer
+    micro-nats BEFORE the per-doc sum (float sums are
+    addition-order-dependent; integer sums are not). ``mean_nll_x1e6``
+    is floor(sum/n) on exact-in-double integers. NULL/blank docs are
+    excluded (they have no tokens to score).
+
+    Returns (doc_id, n_tok, sum_nll_x1e6, mean_nll_x1e6).
+    """
+    toks = _words(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+
+    vocab = (
+        base.select(F.explode("_toks").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = vocab.agg(
+        F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    nll = F.floor(
+        -F.log((F.col("_c") + F.lit(1.0)) / (F.col("_t") + F.col("_v")))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+
+    exploded = (
+        base.repartition(F.col("_doc"))
+        .select("_doc", F.explode("_toks").alias("_w"))
+        .join(F.broadcast(vocab), "_w")
+        .crossJoin(F.broadcast(stats))
+        .select("_doc", nll.alias("_nll"))
+    )
+    return exploded.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("_nll").cast("long").alias("sum_nll_x1e6"),
+        F.floor(F.sum("_nll") / F.count(F.lit(1))).cast("long").alias(
+            "mean_nll_x1e6"
+        ),
+    ).withColumnRenamed("_doc", "doc_id")
+
+
+def _gram_array(words: Column, k: int) -> Column:
+    """Array of space-joined word k-grams (empty for short docs)."""
+    n = F.size(words)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction
+    of word-bigram positions taken by the single most frequent bigram,
+    same for trigrams, and the fraction of 5-gram positions whose
+    5-gram occurs more than once in the document (Rae et al. 2021's
+    "repetition removal" family, word-n-gram variants).
+
+    Scale shape: ONE Exchange for the whole operator. Documents are
+    repartitioned by doc id BEFORE the gram explode (explode preserves
+    the child's partitioning), the per-(doc,k,gram) count window and
+    the final per-doc aggregate are both satisfied by that
+    doc-id hash partitioning, so Catalyst inserts no further shuffle —
+    every gram of a document is counted where the document lives.
+    Gram-frequency skew is irrelevant: the partition key is the doc.
+
+    Docs with fewer than 2 tokens have no repetition signal and are
+    excluded (mirrored by the oracle); 3/5-gram fractions for docs
+    shorter than k coalesce to 0.
+
+    Returns (doc_id, n_tok, top_bigram_frac_x1e6, top_trigram_frac_x1e6,
+    dup_5gram_frac_x1e6).
+    """
+    from pyspark.sql import Window
+
+    toks = _words(text_col)
+    base = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .repartition(F.col("_doc"))
+    )
+    def _tag(k: int) -> Column:
+        # single-arg lambda: a two-arg lambda would receive the array
+        # INDEX as its second argument (pyspark transform semantics)
+        return F.transform(
+            _gram_array(F.col("_toks"), k),
+            lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
+        )
+
+    tagged = F.concat(_tag(2), _tag(3), _tag(5))
+    ex = base.select(
+        "_doc", F.size("_toks").cast("long").alias("n_tok"), F.explode(tagged).alias("kg")
+    ).select("_doc", "n_tok", F.col("kg.k").alias("_k"), F.col("kg.g").alias("_g"))
+    gc = F.count(F.lit(1)).over(Window.partitionBy("_doc", "_k", "_g"))
+    ex = ex.withColumn("_gc", gc)
+
+    def _frac(num: Column, den: Column) -> Column:
+        return F.coalesce(
+            F.floor(num * F.lit(1e6) / den + F.lit(0.5)).cast("long"), F.lit(0)
+        )
+
+    def _k(k: int) -> Column:
+        return F.col("_k") == k
+
+    return (
+        ex.groupBy("_doc")
+        .agg(
+            F.max("n_tok").alias("n_tok"),
+            _frac(
+                F.max(F.when(_k(2), F.col("_gc"))),
+                F.sum(F.when(_k(2), F.lit(1))),
+            ).alias("top_bigram_frac_x1e6"),
+            _frac(
+                F.max(F.when(_k(3), F.col("_gc"))),
+                F.sum(F.when(_k(3), F.lit(1))),
+            ).alias("top_trigram_frac_x1e6"),
+            _frac(
+                F.sum(F.when(_k(5) & (F.col("_gc") > 1), F.lit(1))),
+                F.sum(F.when(_k(5), F.lit(1))),
+            ).alias("dup_5gram_frac_x1e6"),
+        )
+        .withColumnRenamed("_doc", "doc_id")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicated-span detection at word-k-gram
+    granularity: a span is "duplicated" when the same k-gram occurs in
+    two or more DISTINCT documents (the n-gram approximation of
+    Lee et al. 2022's exact-substring dedup — their suffix-array match
+    becomes a distributed count-distinct over shingles).
+
+    Scale shape: the corpus-sized frames shuffle exactly twice on the
+    gram (count-distinct-docs per gram — partial-aggregated map-side —
+    then the gram-keyed equi-join of positions against the per-gram
+    verdict) and once on the doc for the final rollup. Nothing is
+    all-pairs; the per-gram join side is pre-aggregated to ONE row per
+    gram, so hot grams (stopword runs) cost volume, not row explosion,
+    and AQE's skew-join split handles the volume.
+
+    Docs with fewer than k tokens have no spans and are excluded
+    (mirrored by the oracle).
+
+    Returns (doc_id, n_spans, n_dup_spans, dup_span_frac_x1e6).
+    """
+    toks = _words(text_col)
+    spans = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+        .filter(F.size("_toks") >= k)
+        .select("_doc", F.explode(_gram_array(F.col("_toks"), k)).alias("_g"))
+    )
+    gdocs = spans.groupBy("_g").agg(
+        (F.count_distinct("_doc") >= 2).alias("_dup")
+    )
+    return (
+        spans.join(gdocs, "_g")
+        .groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac_x1e6",
+            F.floor(
+                F.col("n_dup_spans") * F.lit(1e6) / F.col("n_spans") + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumnRenamed("_doc", "doc_id")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE tokenizer training (Sennrich et al. 2016): learn
+    ``n_merges`` merge rules by repeatedly taking the highest-count
+    adjacent symbol pair and fusing it throughout the vocabulary.
+    Extends ``bpe_pair_counts`` (the first iteration) to the full
+    training loop.
+
+    Scale shape — the published BPE trick, kept intact: the CORPUS is
+    touched exactly once (explode → map-side-combined word count); all
+    ``n_merges`` iterations then run over the VOCABULARY (distinct
+    words, orders of magnitude smaller), weighting each within-word
+    pair by the word's corpus count. Per iteration: one vocab-sized
+    pair-count shuffle, a 1-row argmax collect (the driver must know
+    the winning pair to build the next plan — inherent to the
+    algorithm), and a pure-JVM ``aggregate`` fold that applies the
+    merge greedily left-to-right (last-element-of-accumulator check:
+    no UDF, no Python). ``localCheckpoint`` truncates the growing
+    lineage each round, same pattern as the connected-components op.
+
+    Determinism: argmax ties break on (count desc, left asc, right
+    asc). Greedy left-to-right application matches the reference
+    algorithm ("aaa" + merge(a,a) → [aa, a]).
+
+    Returns one row per learned merge:
+    (merge_rank, left, right, merged, pair_count).
+    """
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(_words(text_col)).alias("_w")
+    ).filter(F.col("_w") != "")
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_wc"))
+        .select(
+            F.col("_wc"),
+            # the zero-width end-of-string match leaves a trailing
+            # empty element (any limit); strip it
+            F.array_remove(F.split(F.col("_w"), "(?!^)"), "").alias("_syms"),
+        )
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        n = F.size("_syms")
+        pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = vocab.select(
+            "_wc",
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at("_syms", i).alias("l"),
+                        F.element_at("_syms", i + 1).alias("r"),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        top = (
+            pairs.groupBy("_p.l", "_p.r")
+            .agg(F.sum("_wc").cast("long").alias("_c"))
+            .orderBy(F.desc("_c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, count = top[0]["l"], top[0]["r"], top[0]["_c"]
+        merged = left + right
+        merges.append((rank, left, right, merged, count))
+        # greedy left-to-right fusion: fold each symbol in; when the
+        # accumulator ends with `left` and the incoming symbol is
+        # `right`, replace the tail with the merged symbol (a token
+        # produced by THIS merge never re-participates on its left
+        # side, exactly the reference semantics)
+        fused = F.aggregate(
+            F.col("_syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("_wc", fused.alias("_syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )

@@ -59,6 +59,11 @@ def main() -> int:
         sdf = fn(spark, SF)
         scols = sorted(sdf.columns)
         srows = sdf.collect()
+        if name not in oracles:
+            # rows-only class (iterative/streaming): mirror the
+            # driver's weaker check — the query ran and returned rows
+            print(f"ROWS-ONLY {name} ({len(srows)} rows)")
+            continue
         odf = con.execute(oracles[name]).df()
         ocols = sorted(odf.columns)
         status = []

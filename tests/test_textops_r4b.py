@@ -1,0 +1,192 @@
+"""Round-4b text operators: unigram LM scoring, repetition filters,
+cross-doc duplicated spans, iterative BPE training — semantics against
+hand-computed / pure-Python references plus the plan shapes (single
+Exchange in repetition_stats, broadcast vocab join in lm_unigram_score).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# unigram LM scoring
+
+
+def test_lm_unigram_score_matches_hand_computation(spark):
+    from hnormalise_spark.ops.textops import lm_unigram_score
+
+    docs = _docs(spark, [(1, "a a b"), (2, "b c"), (3, None), (4, "  ")])
+    out = {r["doc_id"]: r for r in lm_unigram_score(docs).collect()}
+    # corpus counts: a=2, b=2, c=1 -> T=5, V=3
+    def nll(c):
+        return math.floor(-math.log((c + 1) / (5 + 3)) * 1e6 + 0.5)
+
+    assert set(out) == {1, 2}  # null/blank docs excluded
+    assert out[1]["n_tok"] == 3
+    assert out[1]["sum_nll_x1e6"] == 2 * nll(2) + nll(2)
+    assert out[1]["mean_nll_x1e6"] == out[1]["sum_nll_x1e6"] // 3
+    assert out[2]["sum_nll_x1e6"] == nll(2) + nll(1)
+    # rarer tokens score higher NLL
+    assert out[2]["sum_nll_x1e6"] > out[1]["sum_nll_x1e6"] * 2 // 3
+
+
+def test_lm_unigram_score_vocab_join_is_broadcast(spark):
+    from hnormalise_spark.ops.textops import lm_unigram_score
+
+    docs = _docs(spark, [(1, "a b"), (2, "b c")])
+    plan = _plan(lm_unigram_score(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+
+
+def test_repetition_stats_hand_example(spark):
+    from hnormalise_spark.ops.textops import repetition_stats
+
+    docs = _docs(
+        spark,
+        [
+            # bigrams: "a b","b a","a b" -> top 2/3; trigrams: "a b a",
+            # "b a b" -> top 1/2; no 5-gram dup (n_tok=4 -> 0 positions... n-5+1=0)
+            (1, "a b a b"),
+            # 6 tokens, all same: bigrams 5/5 dup, trigram 4/4, 5-grams 2, both dup
+            (2, "x x x x x x"),
+            (3, "one"),  # n_tok < 2: excluded
+            (4, None),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert r1["n_tok"] == 4
+    assert r1["top_bigram_frac_x1e6"] == math.floor(2 * 1e6 / 3 + 0.5)
+    assert r1["top_trigram_frac_x1e6"] == 500000
+    assert r1["dup_5gram_frac_x1e6"] == 0  # no 5-gram positions
+    r2 = out[2]
+    assert r2["top_bigram_frac_x1e6"] == 1000000
+    assert r2["top_trigram_frac_x1e6"] == 1000000
+    assert r2["dup_5gram_frac_x1e6"] == 1000000  # both 5-grams identical
+
+
+def test_repetition_stats_single_exchange(spark):
+    from hnormalise_spark.ops.textops import repetition_stats
+
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "g h i j k l")])
+    plan = _plan(repetition_stats(docs))
+    # the doc-id repartition is the only shuffle: the (doc,k,gram)
+    # window and the per-doc aggregate reuse its partitioning
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# cross-doc duplicated spans
+
+
+def test_dup_span_stats_flags_shared_trigrams(spark):
+    from hnormalise_spark.ops.textops import dup_span_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "p q r s"),       # trigrams: "p q r", "q r s"
+            (2, "z p q r"),       # trigrams: "z p q", "p q r" (shared)
+            (3, "totally different words"),
+            (4, "a b"),           # < k tokens: excluded
+        ],
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(docs, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 1
+    assert out[1]["dup_span_frac_x1e6"] == 500000
+    assert out[2]["n_spans"] == 2 and out[2]["n_dup_spans"] == 1
+    assert out[3]["n_dup_spans"] == 0
+
+
+def test_dup_span_stats_within_doc_repeat_is_not_cross_doc(spark):
+    from hnormalise_spark.ops.textops import dup_span_stats
+
+    # the same trigram twice in ONE doc is not a cross-doc duplicate
+    docs = _docs(spark, [(1, "p q r p q r")])
+    row = dup_span_stats(docs, k=3).collect()[0]
+    assert row["n_dup_spans"] == 0
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE training vs a pure-Python reference
+
+
+def _bpe_reference(texts: list[str], n_merges: int):
+    """Independent reference BPE (Sennrich et al. 2016 pseudocode):
+    dict-based vocab of symbol tuples, greedy left-to-right merge."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # max count, ties broken lexicographically ascending
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, best[0], best[1], best[0] + best[1], pairs[best]))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == best[0] and s == best[1]:
+                    out[-1] = best[0] + best[1]
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from hnormalise_spark.ops.textops import bpe_train
+
+    texts = [
+        "lower lower lowest low low low",
+        "newer newest new new wider wide",
+        "lower newer wider slower",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
+
+
+def test_bpe_train_greedy_overlap_semantics(spark):
+    from hnormalise_spark.ops.textops import bpe_train
+
+    # "aaa": pair (a,a) has count 2; greedy application yields [aa, a],
+    # so the SECOND merge sees pair (aa, a) with count 1 (not (a, a))
+    docs = spark.createDataFrame([("aaa",)], "text string")
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+    ]
+    assert got == [("a", "a", 2), ("aa", "a", 1)]
