@@ -727,7 +727,11 @@ def bpe_train(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("_wc", fused.alias("_syms")).localCheckpoint()
+        vocab = vocab.select("_wc", fused.alias("_syms"))
+        # eager materialization is a full job; amortize it — a few
+        # stacked fold projections are cheap, unbounded lineage is not
+        if (rank + 1) % 4 == 0:
+            vocab = vocab.localCheckpoint()
     return spark.createDataFrame(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
