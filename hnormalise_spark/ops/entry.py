@@ -1768,6 +1768,60 @@ def _oracle_dup_spans() -> str:
     """
 
 
+BUDGET_FRAC = 0.4  # budget_select keeps the best 40% of corpus tokens
+
+
+def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget curation: greedy best-quality prefix under a
+    token budget (40% of the corpus), computed scalably as histogram
+    threshold + boundary-bucket window — the oracle recomputes it with
+    the naive global running-sum window and must agree exactly."""
+    import math
+
+    from hnormalise_spark.ops import sampling as S
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        F.floor(T.quality_score(F.col("text")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("quality_x1e4"),
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    total = scored.agg(F.sum("n_tok")).collect()[0][0]
+    budget = math.floor(total * BUDGET_FRAC)
+    return S.budget_select(scored, budget)
+
+
+def _oracle_budget_select() -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.6
+                    + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+                                    / greatest(length(text), 1)) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tok
+      FROM documents),
+    b AS (SELECT floor(sum(n_tok) * {BUDGET_FRAC}) AS budget FROM base),
+    c AS (SELECT *, sum(n_tok) OVER (ORDER BY quality_x1e4 DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM base)
+    SELECT doc_id::BIGINT AS doc_id, quality_x1e4, n_tok
+    FROM c, b WHERE cum <= budget
+    """
+
+
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative BPE training (8 merges) — corpus touched once, loop
     over the vocabulary. Genuinely iterative (each merge depends on
@@ -1815,6 +1869,7 @@ def queries():
         "lm_score": q_lm_score,
         "repetition": q_repetition,
         "dup_spans": q_dup_spans,
+        "budget_select": q_budget_select,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1856,6 +1911,7 @@ def oracle_sql():
         "lm_score": _oracle_lm_score(),
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
+        "budget_select": _oracle_budget_select(),
         # bpe_train: iterative (merge i+1 depends on merge i) — no
         # single-statement SQL form; pytest pins it against a pure-
         # Python reference, the driver records rows-only.

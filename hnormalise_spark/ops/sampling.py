@@ -94,3 +94,89 @@ def stratified_hash_sample(
         rate = F.when(cond, float(r)) if rate is None else rate.when(cond, float(r))
     rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return df.filter(u < rate)
+
+
+def budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str = "quality_x1e4",
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    whose cumulative token count fits within ``budget_tokens`` — the
+    greedy prefix of the corpus ordered by (quality desc, doc_id asc).
+    This is the standard "select the best N tokens" curation step that
+    ends most pre-training data pipelines.
+
+    Scale shape — a global ORDER BY + running sum is the textbook
+    non-scalable formulation (one partition holds the whole corpus).
+    This implementation is the two-pass threshold selection instead:
+
+    1. Aggregate tokens per integer quality bucket (ONE map-side
+       combined shuffle that collapses to at most |buckets| rows —
+       quality is already integer-quantized, ≤ ~10⁴ distinct values)
+       and collect the tiny histogram to the driver.
+    2. Walk the histogram to find the threshold bucket t: every doc
+       in a bucket ABOVE t fits in full (kept by a scan-level filter,
+       no shuffle, predicate pushed down), and only the BOUNDARY
+       bucket needs per-document resolution — a window over just the
+       bucket-t rows (a vanishing fraction of the corpus) consumes
+       the remaining budget in doc_id order.
+
+    The result is EXACTLY the greedy-prefix selection (the DuckDB
+    oracle recomputes it with the naive global window) at the cost of
+    one tiny histogram shuffle + one boundary-bucket window.
+
+    Ties inside a bucket break on ascending ``id_col``. Rows with a
+    NULL quality or weight are never selected.
+
+    Returns the selected rows: (doc_id, quality bucket, weight).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(quality_col).cast("long").alias(quality_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+    ).filter(F.col(quality_col).isNotNull() & F.col(weight_col).isNotNull())
+
+    hist = (
+        base.groupBy(quality_col)
+        .agg(F.sum(weight_col).alias("_w"))
+        .orderBy(F.desc(quality_col))
+        .collect()
+    )
+    remaining = budget_tokens
+    threshold = None  # bucket needing per-doc resolution
+    full_above = None  # lowest bucket kept in full
+    for row in hist:
+        if row["_w"] <= remaining:
+            remaining -= row["_w"]
+            full_above = row[quality_col]
+        else:
+            threshold = row[quality_col]
+            break
+
+    parts = []
+    if full_above is not None:
+        parts.append(base.filter(F.col(quality_col) >= full_above))
+    if threshold is not None and remaining > 0:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(quality_col)
+            .orderBy(F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        boundary = (
+            base.filter(F.col(quality_col) == threshold)
+            .withColumn("_cum", F.sum(weight_col).over(w))
+            .filter(F.col("_cum") <= remaining)
+            .drop("_cum")
+        )
+        parts.append(boundary)
+    if not parts:
+        return base.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

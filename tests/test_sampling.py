@@ -84,3 +84,66 @@ def test_sampling_plan_is_shuffle_free(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, quality_x1e4 long, n_tok long")
+
+
+def test_budget_select_is_greedy_quality_prefix(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(1, 9000, 10), (2, 8000, 10), (3, 8000, 10), (4, 7000, 10)]
+    # budget 25: bucket 9000 fits (10), bucket 8000 total 20 > 15 left
+    # -> boundary: doc 2 (cum 10 <= 15), doc 3 (cum 20 > 15) out
+    got = {r["doc_id"] for r in budget_select(_scored(spark, rows), 25).collect()}
+    assert got == {1, 2}
+
+
+def test_budget_select_budget_covers_everything(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(1, 9000, 10), (2, 1000, 10)]
+    got = {r["doc_id"] for r in budget_select(_scored(spark, rows), 1000).collect()}
+    assert got == {1, 2}
+
+
+def test_budget_select_budget_smaller_than_best_doc(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(1, 9000, 10), (2, 8000, 3)]
+    # best doc alone exceeds the budget -> greedy prefix is empty
+    # (running sum 10 > 5 at the first row blocks everything after)
+    got = budget_select(_scored(spark, rows), 5).collect()
+    assert got == []
+
+
+def test_budget_select_boundary_ties_break_on_doc_id(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(5, 8000, 10), (1, 8000, 10), (3, 8000, 10)]
+    got = {r["doc_id"] for r in budget_select(_scored(spark, rows), 20).collect()}
+    assert got == {1, 3}
+
+
+def test_budget_select_null_quality_never_selected(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(1, 9000, 10), (2, None, 10)]
+    got = {r["doc_id"] for r in budget_select(_scored(spark, rows), 100).collect()}
+    assert got == {1}
+
+
+def test_budget_select_boundary_window_is_bucket_partitioned(spark):
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rows = [(i, 8000 if i % 2 else 9000, 10) for i in range(1, 11)]
+    df = budget_select(_scored(spark, rows), 70)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the per-doc window runs over the boundary bucket only, keyed on
+    # the quality bucket — never a global (empty partitionBy) window
+    assert "Window" not in plan or "quality_x1e4" in plan.split("Window")[1][:200]
