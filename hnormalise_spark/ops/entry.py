@@ -1768,6 +1768,80 @@ def _oracle_dup_spans() -> str:
     """
 
 
+def q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gate funnel: attribute every rejected doc to the FIRST
+    failed gate, roll up doc and token mass per stage. One scan + one
+    |gates|+1-row aggregate."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    return T.filter_funnel(docs)
+
+
+def _oracle_filter_funnel() -> str:
+    return """
+    WITH base AS (
+      SELECT text,
+             (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             greatest(length(text), 1) AS n
+      FROM documents),
+    lab AS (SELECT n_tok,
+              CASE WHEN text IS NULL OR trim(text) = '' THEN 'non_null'
+                   WHEN NOT (n_tok >= 20) THEN 'min_len'
+                   WHEN NOT (n_tok <= 90) THEN 'max_len'
+                   WHEN NOT (n_alpha / n >= 0.8) THEN 'alpha_ratio'
+                   WHEN NOT (n_digit / n <= 0.2) THEN 'digit_ratio'
+                   ELSE 'kept' END AS stage
+            FROM base)
+    SELECT stage, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+    FROM lab GROUP BY 1
+    """
+
+
+def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction-error
+    accounting — pure JVM array transforms, scan-speed projection."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spread_to_cores(
+        spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+        )
+    )
+    return S.quantize_embeddings(emb).select(
+        "vec_id", "scale_x1e9", "qsum", "err_x1e9"
+    )
+
+
+def _oracle_quantize_embeddings() -> str:
+    return """
+    WITH b AS (SELECT vec_id,
+                 embedding,
+                 -- ::DOUBLE before the divide: REAL / 127.0 is computed
+                 -- in float32 and drifts from Spark's double division
+                 list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                   / 127.0::DOUBLE AS scale
+               FROM embeddings),
+    q AS (SELECT vec_id, scale, embedding,
+            CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                 ELSE list_transform(embedding,
+                        x -> floor(x::DOUBLE / scale + 0.5)::INT) END AS qc
+          FROM b)
+    SELECT vec_id::BIGINT AS vec_id,
+           floor(scale * 1000000000.0 + 0.5)::BIGINT AS scale_x1e9,
+           list_sum(qc)::BIGINT AS qsum,
+           coalesce(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> floor(abs(embedding[i]::DOUBLE - qc[i]::DOUBLE * scale)
+                        * 1000000000.0 + 0.5)::BIGINT)), 0)::BIGINT AS err_x1e9
+    FROM q
+    """
+
+
 BUDGET_FRAC = 0.4  # budget_select keeps the best 40% of corpus tokens
 
 
@@ -1870,6 +1944,8 @@ def queries():
         "repetition": q_repetition,
         "dup_spans": q_dup_spans,
         "budget_select": q_budget_select,
+        "filter_funnel": q_filter_funnel,
+        "quantize_embeddings": q_quantize_embeddings,
         "events_rollup": q_events_rollup,
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
@@ -1912,6 +1988,8 @@ def oracle_sql():
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
         "budget_select": _oracle_budget_select(),
+        "filter_funnel": _oracle_filter_funnel(),
+        "quantize_embeddings": _oracle_quantize_embeddings(),
         # bpe_train: iterative (merge i+1 depends on merge i) — no
         # single-statement SQL form; pytest pins it against a pure-
         # Python reference, the driver records rows-only.

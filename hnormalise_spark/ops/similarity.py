@@ -399,3 +399,59 @@ def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         {"dim": F.size(F.col(vec_col)), "l2_norm": F.round(norm(F.col(vec_col)), 6)}
     )
     return per_row
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    standard storage/ANN-index compression step (scale = max|v|/127,
+    q_i = round(v_i/scale)) — plus per-vector reconstruction-error
+    accounting so the pipeline can gate on quantization loss.
+
+    Pure JVM higher-order functions over the array (transform /
+    aggregate / array_max): no UDF, no shuffle — at 100 TB this is a
+    scan-speed projection that runs inside the read stage, and the
+    int8 payload is what an IVF/LSH index would persist.
+
+    Cross-engine determinism: quantized codes use floor(x+0.5) (not
+    half-even round); per-element absolute reconstruction errors are
+    rounded to integer nano-units BEFORE the in-vector sum, so the
+    total is integer arithmetic.
+
+    Zero vectors (max|v| = 0) quantize to all-zero codes with scale 0
+    and zero error. Returns the input plus (scale_x1e9, qsum,
+    err_x1e9) and the codes column ``q`` (array<int> in [-127, 127]).
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+        )
+    )
+    df = df.withColumns({"_scale": scale, "q": q})
+    err_units = F.transform(
+        F.arrays_zip(F.col(vec_col), F.col("q")),
+        lambda z: F.floor(
+            F.abs(
+                z[vec_col].cast("double")
+                - z["q"].cast("double") * F.col("_scale")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return df.withColumns(
+        {
+            "scale_x1e9": F.floor(F.col("_scale") * F.lit(1e9) + F.lit(0.5)).cast(
+                "long"
+            ),
+            "qsum": F.aggregate(
+                F.col("q"), F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+            "err_x1e9": F.aggregate(
+                err_units, F.lit(0).cast("long"), lambda a, x: a + x
+            ),
+        }
+    ).drop("_scale")

@@ -736,3 +736,54 @@ def bpe_train(
         merges,
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
+
+
+# ordered quality gates for the funnel report: (name, SQL-mirrorable
+# predicate builder). A doc is attributed to the FIRST gate it fails.
+def _funnel_gates() -> list[tuple[str, Column]]:
+    t = F.col("text")
+    n_tok = token_count(t)
+    cc = char_class_counts(t)
+    n = F.greatest(F.length(t), F.lit(1))
+    return [
+        ("non_null", t.isNotNull() & (F.trim(t) != "")),
+        ("min_len", n_tok >= 20),
+        ("max_len", n_tok <= 90),
+        ("alpha_ratio", cc["n_alpha"] / n >= 0.8),
+        ("digit_ratio", cc["n_digit"] / n <= 0.2),
+    ]
+
+
+def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-gate funnel report: run the ordered filter cascade every
+    curation pipeline applies and attribute each rejected document to
+    the FIRST gate it fails — the observability table used to tune
+    thresholds before committing a multi-day 100-TB filtering job.
+
+    One scan, one tiny aggregate: the first-failing-gate label is a
+    single when-cascade projection (pure JVM, scan speed) and the
+    rollup collapses to |gates|+1 rows map-side before its exchange.
+
+    Returns (stage, n_docs, n_tokens) — stage is 'kept' or the name of
+    the first failed gate; n_tokens is the token mass that stage
+    removed (what matters for budget planning, not doc counts).
+    """
+    t = F.col(text_col)
+    gates = _funnel_gates()
+    label = F.lit("kept")
+    expr = None
+    for name, pred in gates:
+        cond = ~F.coalesce(pred, F.lit(False))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = expr.otherwise(label)
+    n_tok = F.when(
+        t.isNotNull() & (F.trim(t) != ""), token_count(t)
+    ).otherwise(F.lit(0))
+    return (
+        df.select(label.alias("stage"), n_tok.cast("long").alias("_nt"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )

@@ -190,3 +190,88 @@ def test_bpe_train_greedy_overlap_semantics(spark):
         for r in bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
     ]
     assert got == [("a", "a", 2), ("aa", "a", 1)]
+
+
+# ---------------------------------------------------------------------------
+# filter funnel
+
+
+def test_filter_funnel_first_failing_gate_wins(spark):
+    from hnormalise_spark.ops.textops import filter_funnel
+
+    docs = _docs(
+        spark,
+        [
+            (1, None),                                  # non_null
+            (2, "   "),                                 # non_null
+            (3, "short text here"),                     # min_len (3 < 20)
+            (4, "a1 " * 25),                            # alpha fails AND digits high
+            (5, " ".join(["goodwordtext"] * 30)),       # kept
+            (6, " ".join(["word"] * 95)),               # max_len (95 > 90)
+        ],
+    )
+    out = {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in filter_funnel(docs).collect()}
+    assert out["non_null"] == (2, 0)
+    assert out["min_len"] == (1, 3)
+    assert out["max_len"] == (1, 95)
+    # doc 4 fails alpha_ratio FIRST (cascade order), never digit_ratio
+    assert out["alpha_ratio"][0] == 1
+    assert "digit_ratio" not in out
+    assert out["kept"] == (1, 30)
+
+
+def test_filter_funnel_token_mass_conserved(spark):
+    from hnormalise_spark.ops.textops import filter_funnel, token_count
+
+    docs = _docs(spark, [(i, " ".join(["w"] * (10 + i))) for i in range(1, 8)])
+    total = docs.select(F.sum(token_count(F.col("text")))).collect()[0][0]
+    out = filter_funnel(docs).agg(F.sum("n_tokens")).collect()[0][0]
+    assert out == total
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+
+
+def test_quantize_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from hnormalise_spark.ops.similarity import quantize_embeddings
+
+    rng = [[0.5, -1.0, 0.25, 0.0], [0.1, 0.2, 0.3, -0.4]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(rng):
+        v32 = np.array(v, dtype=np.float32).astype(np.float64)
+        scale = float(np.max(np.abs(v32))) / 127.0
+        q = np.floor(v32 / scale + 0.5).astype(int)
+        err = np.floor(np.abs(v32 - q * scale) * 1e9 + 0.5).astype(np.int64)
+        r = out[i]
+        assert r["q"] == list(q)
+        assert r["qsum"] == int(q.sum())
+        assert r["err_x1e9"] == int(err.sum())
+        assert r["scale_x1e9"] == int(np.floor(scale * 1e9 + 0.5))
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from hnormalise_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert r["q"] == [0, 0, 0] and r["scale_x1e9"] == 0 and r["err_x1e9"] == 0
+
+
+def test_quantize_embeddings_codes_bounded(spark):
+    from hnormalise_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.999, -0.5])], "vec_id long, embedding array<float>"
+    )
+    r = quantize_embeddings(df).collect()[0]
+    assert all(-127 <= c <= 127 for c in r["q"])
+    assert r["q"][0] == 127 and r["q"][1] == -127
