@@ -1896,6 +1896,75 @@ def _oracle_budget_select() -> str:
     """
 
 
+# per-language budget fractions for budget_select_grouped: exercises a
+# full-keep group (fr), partial groups (en/de/es), and a dropped group
+# (zh has no budget at all)
+GROUP_BUDGET_FRACS = {"en": 0.3, "de": 0.6, "fr": 1.0, "es": 0.1}
+
+
+def q_budget_select_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token budgets: independent greedy quality prefix
+    per group — one (lang, bucket) histogram shuffle, driver-side
+    thresholds, pushed-down keep filter, one boundary window."""
+    import math
+
+    from hnormalise_spark.ops import sampling as S
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(T.quality_score(F.col("text")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("quality_x1e4"),
+        T.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    totals = {
+        r["lang"]: r["t"]
+        for r in scored.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    budgets = {
+        g: math.floor(totals.get(g, 0) * frac)
+        for g, frac in GROUP_BUDGET_FRACS.items()
+    }
+    return S.budget_select_grouped(scored, budgets, group_col="lang")
+
+
+def _oracle_budget_select_grouped() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN floor(t * {frac})"
+        for g, frac in GROUP_BUDGET_FRACS.items()
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.6
+                    + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+                                    / greatest(length(text), 1)) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tok
+      FROM documents WHERE lang IS NOT NULL),
+    tot AS (SELECT lang, sum(n_tok) AS t FROM base GROUP BY 1),
+    b AS (SELECT lang, CASE lang {cases} END AS budget FROM tot),
+    c AS (SELECT base.*, sum(n_tok) OVER (PARTITION BY lang
+                                          ORDER BY quality_x1e4 DESC, doc_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM base)
+    SELECT doc_id::BIGINT AS doc_id, lang, quality_x1e4, n_tok
+    FROM c JOIN b USING (lang) WHERE budget IS NOT NULL AND cum <= budget
+    """
+
+
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative BPE training (8 merges) — corpus touched once, loop
     over the vocabulary. Genuinely iterative (each merge depends on
@@ -1944,6 +2013,7 @@ def queries():
         "repetition": q_repetition,
         "dup_spans": q_dup_spans,
         "budget_select": q_budget_select,
+        "budget_select_grouped": q_budget_select_grouped,
         "filter_funnel": q_filter_funnel,
         "quantize_embeddings": q_quantize_embeddings,
         "events_rollup": q_events_rollup,
@@ -1988,6 +2058,7 @@ def oracle_sql():
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
         "budget_select": _oracle_budget_select(),
+        "budget_select_grouped": _oracle_budget_select_grouped(),
         "filter_funnel": _oracle_filter_funnel(),
         "quantize_embeddings": _oracle_quantize_embeddings(),
         # bpe_train: iterative (merge i+1 depends on merge i) — no

@@ -180,3 +180,95 @@ def budget_select(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def budget_select_grouped(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    quality_col: str = "quality_x1e4",
+    weight_col: str = "n_tok",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-budget selection: an independent greedy
+    best-quality prefix PER GROUP (the per-language token budgets
+    every multilingual pre-training mix is specified in), same
+    two-pass shape as ``budget_select`` — one (group, quality-bucket)
+    histogram shuffle (still tiny: |groups| × |buckets| rows), the
+    per-group thresholds resolved on the driver, full buckets kept by
+    a pushed-down scan filter, and ONE window over only the boundary
+    (group, bucket) pairs.
+
+    Groups absent from ``budgets`` are dropped (budget 0). Returns the
+    selected rows: (id, group, quality bucket, weight).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(quality_col).cast("long").alias(quality_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+    ).filter(
+        F.col(quality_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    )
+
+    hist = (
+        base.groupBy(group_col, quality_col)
+        .agg(F.sum(weight_col).alias("_w"))
+        .orderBy(F.asc(group_col), F.desc(quality_col))
+        .collect()
+    )
+    remaining = dict(budgets)
+    full_above: dict[str, int] = {}
+    boundary: dict[str, tuple[int, int]] = {}  # group -> (bucket, leftover)
+    done: set[str] = set()
+    for row in hist:
+        g = row[group_col]
+        if g not in remaining or g in done:
+            continue
+        if row["_w"] <= remaining[g]:
+            remaining[g] -= row["_w"]
+            full_above[g] = row[quality_col]
+        else:
+            if remaining[g] > 0:
+                boundary[g] = (row[quality_col], remaining[g])
+            done.add(g)
+
+    full_pred = None
+    for g, b in full_above.items():
+        p = (F.col(group_col) == g) & (F.col(quality_col) >= b)
+        full_pred = p if full_pred is None else (full_pred | p)
+    parts = []
+    if full_pred is not None:
+        parts.append(base.filter(full_pred))
+    if boundary:
+        from pyspark.sql import Window
+
+        bpred = None
+        leftover = None
+        for g, (b, r) in boundary.items():
+            p = (F.col(group_col) == g) & (F.col(quality_col) == b)
+            bpred = p if bpred is None else (bpred | p)
+            leftover = (
+                F.when(F.col(group_col) == g, F.lit(r))
+                if leftover is None
+                else leftover.when(F.col(group_col) == g, F.lit(r))
+            )
+        w = (
+            Window.partitionBy(group_col, quality_col)
+            .orderBy(F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        parts.append(
+            base.filter(bpred)
+            .withColumn("_cum", F.sum(weight_col).over(w))
+            .filter(F.col("_cum") <= leftover)
+            .drop("_cum")
+        )
+    if not parts:
+        return base.limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -147,3 +147,51 @@ def test_budget_select_boundary_window_is_bucket_partitioned(spark):
     # the per-doc window runs over the boundary bucket only, keyed on
     # the quality bucket — never a global (empty partitionBy) window
     assert "Window" not in plan or "quality_x1e4" in plan.split("Window")[1][:200]
+
+
+def _gscored(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, quality_x1e4 long, n_tok long"
+    )
+
+
+def test_budget_select_grouped_independent_budgets(spark):
+    from hnormalise_spark.ops.sampling import budget_select_grouped
+
+    rows = [
+        (1, "en", 9000, 10), (2, "en", 8000, 10), (3, "en", 7000, 10),
+        (4, "de", 5000, 10), (5, "de", 4000, 10),
+        (6, "zh", 9999, 10),  # no budget entry -> dropped entirely
+    ]
+    got = {
+        r["doc_id"]
+        for r in budget_select_grouped(
+            _gscored(spark, rows), {"en": 20, "de": 100}, group_col="lang"
+        ).collect()
+    }
+    # en: top-2 fit the 20-token budget; de: everything fits; zh: gone
+    assert got == {1, 2, 4, 5}
+
+
+def test_budget_select_grouped_boundary_per_group(spark):
+    from hnormalise_spark.ops.sampling import budget_select_grouped
+
+    rows = [
+        (1, "en", 8000, 10), (2, "en", 8000, 10), (3, "en", 8000, 10),
+        (4, "de", 8000, 7), (5, "de", 8000, 7),
+    ]
+    got = {
+        r["doc_id"]
+        for r in budget_select_grouped(
+            _gscored(spark, rows), {"en": 25, "de": 7}, group_col="lang"
+        ).collect()
+    }
+    # boundary bucket resolved per group in doc_id order
+    assert got == {1, 2, 4}
+
+
+def test_budget_select_grouped_empty_budget_map(spark):
+    from hnormalise_spark.ops.sampling import budget_select_grouped
+
+    rows = [(1, "en", 9000, 10)]
+    assert budget_select_grouped(_gscored(spark, rows), {}, group_col="lang").count() == 0
