@@ -692,6 +692,29 @@ def _oracle_similarity_ivf() -> str:
     """
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@50 of the IVF probe against the exact brute-force top-50
+    — the evaluation loop that tunes nprobe/lists before committing an
+    index build. Composes the two existing queries; the exact side
+    (50 rows) broadcasts onto the distinct candidate ids."""
+    from hnormalise_spark.ops import similarity as S
+
+    exact = q_similarity_topk(spark, sf)
+    approx = q_similarity_ivf(spark, sf)
+    return S.recall_at_k(exact, approx, k=50)
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+    WITH exact AS (SELECT vec_id FROM ({_oracle_similarity_topk()})),
+    approx AS (SELECT DISTINCT vec_id FROM ({_oracle_similarity_ivf()})),
+    hits AS (SELECT count(*) AS n FROM exact JOIN approx USING (vec_id))
+    SELECT 50::BIGINT AS k, n::BIGINT AS n_hits,
+           floor(n * 1000000.0 / 50 + 0.5)::BIGINT AS recall_x1e6
+    FROM hits
+    """
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (ops.sampling)
 
@@ -1995,6 +2018,7 @@ def queries():
         "similarity_ann_indexed": q_similarity_ann_indexed,
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
         "similarity_ivf": q_similarity_ivf,
+        "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "sample_split": q_sample_split,
@@ -2041,6 +2065,7 @@ def oracle_sql():
         "similarity_ann_indexed": _oracle_similarity_ann(),
         "similarity_ann_multiprobe": _oracle_similarity_ann_multiprobe(),
         "similarity_ivf": _oracle_similarity_ivf(),
+        "ann_recall": _oracle_ann_recall(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "sample_split": _oracle_sample_split(),

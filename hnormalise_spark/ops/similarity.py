@@ -455,3 +455,31 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             ),
         }
     ).drop("_scale")
+
+
+def recall_at_k(
+    exact_topk: DataFrame, approx: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Recall@k of an approximate candidate set against the exact
+    top-k — the metric that decides whether an IVF/LSH configuration
+    (nprobe, planes, lists) is good enough to ship.
+
+    Scale shape: the exact side is a TakeOrdered result (k rows), so
+    it broadcasts onto the candidate set; the candidate set reduces to
+    distinct ids map-side; one count aggregate, one row out — the
+    corpus itself is touched only by whatever produced the two inputs.
+
+    Returns one row: (k, n_hits, recall_x1e6).
+    """
+    hits = (
+        approx.select(id_col)
+        .distinct()
+        .join(F.broadcast(exact_topk.select(id_col)), id_col)
+    )
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.floor(F.col("n_hits") * F.lit(1e6) / F.lit(k) + F.lit(0.5))
+        .cast("long")
+        .alias("recall_x1e6"),
+    )

@@ -123,3 +123,32 @@ def test_snapshot_index_incremental_and_pruned(spark, emb, qvec, tmp_path_factor
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert "sketch" in plan.split("PartitionFilters:")[1][:300]
+
+
+def test_recall_at_k_counts_intersection(spark):
+    from hnormalise_spark.ops.similarity import recall_at_k
+
+    exact = spark.createDataFrame([(i,) for i in range(1, 11)], "vec_id long")
+    approx = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 99, 100, 5]], "vec_id long"
+    )  # 5 hits, duplicate candidate counted once
+    row = recall_at_k(exact, approx, k=10).collect()[0]
+    assert (row["k"], row["n_hits"], row["recall_x1e6"]) == (10, 5, 500000)
+
+
+def test_recall_at_k_empty_candidates(spark):
+    from hnormalise_spark.ops.similarity import recall_at_k
+
+    exact = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    approx = spark.createDataFrame([], "vec_id long")
+    row = recall_at_k(exact, approx, k=2).collect()[0]
+    assert row["n_hits"] == 0 and row["recall_x1e6"] == 0
+
+
+def test_recall_at_k_exact_side_broadcast(spark):
+    from hnormalise_spark.ops.similarity import recall_at_k
+
+    exact = spark.createDataFrame([(1,), (2,)], "vec_id long")
+    approx = spark.createDataFrame([(1,), (3,)], "vec_id long")
+    plan = recall_at_k(exact, approx, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
