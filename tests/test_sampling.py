@@ -195,3 +195,29 @@ def test_budget_select_grouped_empty_budget_map(spark):
 
     rows = [(1, "en", 9000, 10)]
     assert budget_select_grouped(_gscored(spark, rows), {}, group_col="lang").count() == 0
+
+
+def test_budget_select_matches_naive_prefix_randomized(spark):
+    """Seeded random corpus, several budgets: the two-pass threshold
+    selection must equal the naive global greedy prefix exactly."""
+    import random
+
+    from hnormalise_spark.ops.sampling import budget_select
+
+    rng = random.Random(0xB0D6E7)
+    rows = [
+        (i, rng.randrange(0, 50) * 100, rng.randrange(0, 40))
+        for i in range(1, 301)
+    ]
+    df = _scored(spark, rows)
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    total = sum(r[2] for r in rows)
+    for budget in [0, 1, 37, total // 10, total // 2, total - 1, total + 5]:
+        cum, expect = 0, set()
+        for i, _q, w in ordered:
+            cum += w
+            if cum > budget:
+                break
+            expect.add(i)
+        got = {r["doc_id"] for r in budget_select(df, budget).collect()}
+        assert got == expect, f"budget={budget}"
