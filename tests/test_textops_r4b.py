@@ -275,3 +275,33 @@ def test_quantize_embeddings_codes_bounded(spark):
     r = quantize_embeddings(df).collect()[0]
     assert all(-127 <= c <= 127 for c in r["q"])
     assert r["q"][0] == 127 and r["q"][1] == -127
+
+
+# ---------------------------------------------------------------------------
+# streaming parity: the funnel is a plain (no-watermark) aggregation,
+# so it runs under Structured Streaming in complete output mode
+
+
+def test_filter_funnel_stream_equals_batch(spark, tmp_path):
+    from hnormalise_spark.ops.textops import filter_funnel
+
+    src = str(tmp_path / "src")
+    df = _docs(
+        spark,
+        [(i, " ".join([f"w{i}"] * (5 + (i * 7) % 100))) for i in range(60)]
+        + [(100, None), (101, "   ")],
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        filter_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_parity")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM funnel_parity").collect()))
+    want = sorted(map(tuple, filter_funnel(df).collect()))
+    assert got == want and len(got) >= 3
