@@ -1988,6 +1988,83 @@ def _oracle_budget_select_grouped() -> str:
     """
 
 
+# curation_pipeline thresholds: repetition gate keeps ~85% of docs,
+# the LM band keeps the middle of the NLL distribution (the CCNet
+# recipe: drop both the too-predictable and the too-surprising tails)
+CUR_REP_MAX = 60_000
+CUR_NLL_LO, CUR_NLL_HI = 3_390_000, 3_420_000
+CUR_BUDGET_FRAC = 0.5
+
+
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed round-4b curation flagship: repetition gate → unigram
+    LM perplexity band → token-budget quality selection, one oracle.
+    Each stage is the library operator; the joins are doc-keyed and
+    the budget is recomputed from the SURVIVING token mass (so the
+    stages genuinely feed each other, not three independent passes)."""
+    import math
+
+    from hnormalise_spark.ops import sampling as S
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    rep_ok = (
+        T.repetition_stats(docs)
+        .filter(F.col("top_bigram_frac_x1e6") <= CUR_REP_MAX)
+        .select("doc_id", "n_tok")
+    )
+    lm_ok = (
+        T.lm_unigram_score(docs)
+        .filter(F.col("mean_nll_x1e6").between(CUR_NLL_LO, CUR_NLL_HI))
+        .select("doc_id", "mean_nll_x1e6")
+    )
+    qual = docs.select(
+        "doc_id",
+        F.floor(T.quality_score(F.col("text")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("quality_x1e4"),
+    )
+    surv = rep_ok.join(lm_ok, "doc_id").join(qual, "doc_id")
+    total = surv.agg(F.sum("n_tok")).collect()[0][0] or 0
+    budget = math.floor(total * CUR_BUDGET_FRAC)
+    sel = S.budget_select(
+        surv.select("doc_id", "quality_x1e4", "n_tok"), budget
+    )
+    return sel.join(surv.select("doc_id", "mean_nll_x1e6"), "doc_id")
+
+
+def _oracle_curation_pipeline() -> str:
+    return f"""
+    WITH rep AS (SELECT doc_id, n_tok FROM ({_oracle_repetition()})
+                 WHERE top_bigram_frac_x1e6 <= {CUR_REP_MAX}),
+    lm AS (SELECT doc_id, mean_nll_x1e6 FROM ({_oracle_lm_score()})
+           WHERE mean_nll_x1e6 BETWEEN {CUR_NLL_LO} AND {CUR_NLL_HI}),
+    qual AS (
+      SELECT doc_id,
+             floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.6
+                    + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+                                    / greatest(length(text), 1)) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4
+      FROM documents),
+    surv AS (SELECT rep.doc_id, rep.n_tok, lm.mean_nll_x1e6, qual.quality_x1e4
+             FROM rep JOIN lm USING (doc_id) JOIN qual USING (doc_id)),
+    b AS (SELECT floor(coalesce(sum(n_tok), 0) * {CUR_BUDGET_FRAC}) AS budget FROM surv),
+    c AS (SELECT *, sum(n_tok) OVER (ORDER BY quality_x1e4 DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM surv)
+    SELECT doc_id::BIGINT AS doc_id, quality_x1e4, n_tok, mean_nll_x1e6
+    FROM c, b WHERE cum <= budget
+    """
+
+
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative BPE training (8 merges) — corpus touched once, loop
     over the vocabulary. Genuinely iterative (each merge depends on
@@ -2025,6 +2102,7 @@ def queries():
         "dedup_incremental": q_dedup_incremental,
         "doclen_stats": q_doclen_stats,
         "training_pipeline": q_training_pipeline,
+        "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
@@ -2072,6 +2150,7 @@ def oracle_sql():
         "dedup_incremental": _oracle_dedup_incremental(),
         "doclen_stats": _oracle_doclen_stats(),
         "training_pipeline": _oracle_training_pipeline(),
+        "curation_pipeline": _oracle_curation_pipeline(),
         "decontaminate": _oracle_decontaminate(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),

@@ -305,3 +305,61 @@ def test_filter_funnel_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM funnel_parity").collect()))
     want = sorted(map(tuple, filter_funnel(df).collect()))
     assert got == want and len(got) >= 3
+
+
+# ---------------------------------------------------------------------------
+# composed curation pipeline invariants (q_curation_pipeline)
+
+
+def test_curation_pipeline_invariants(spark, tmp_path, monkeypatch):
+    import math
+
+    from hnormalise_spark.ops import entry as E
+    from hnormalise_spark.ops.textops import lm_unigram_score, repetition_stats
+
+    sf = str(tmp_path)
+    # varied synthetic corpus: 40 normal docs over a 30-word rotating
+    # vocab, one highly repetitive doc (fails the repetition gate but
+    # NOT the LM band), one rare-vocab doc (high NLL, fails the band)
+    rows = [
+        (i, " ".join(f"w{(i + j) % 30}" for j in range(30))) for i in range(40)
+    ]
+    rows.append((90, " ".join(["w0"] * 40)))
+    rows.append((91, " ".join(f"rare{j}xyz" for j in range(30))))
+    spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    # the shipped band is tuned for the benchmark corpus; for this
+    # synthetic one, pick a band that keeps normal docs (~3.5e6) and
+    # drops the rare-vocab doc (~6.5e6) — gate LOGIC is what's tested
+    monkeypatch.setattr(E, "CUR_NLL_LO", 0)
+    monkeypatch.setattr(E, "CUR_NLL_HI", 4_000_000)
+
+    sel = E.q_curation_pipeline(spark, sf).collect()
+    assert len(sel) > 0
+    ids = {r["doc_id"] for r in sel}
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    lm = {r["doc_id"]: r for r in lm_unigram_score(docs).collect()}
+    # every selected doc survived both gates
+    for i in ids:
+        assert rep[i]["top_bigram_frac_x1e6"] <= E.CUR_REP_MAX
+        assert E.CUR_NLL_LO <= lm[i]["mean_nll_x1e6"] <= E.CUR_NLL_HI
+    # the repetitive doc fails repetition (but passes the LM band);
+    # the rare-vocab doc fails the LM band (but not repetition)
+    assert rep[90]["top_bigram_frac_x1e6"] > E.CUR_REP_MAX
+    assert lm[90]["mean_nll_x1e6"] <= E.CUR_NLL_HI
+    assert lm[91]["mean_nll_x1e6"] > E.CUR_NLL_HI
+    assert rep[91]["top_bigram_frac_x1e6"] <= E.CUR_REP_MAX
+    assert 90 not in ids and 91 not in ids
+    # budget respected: selected token mass <= 50% of surviving mass
+    surv_tok = sum(
+        rep[i]["n_tok"]
+        for i in rep
+        if rep[i]["top_bigram_frac_x1e6"] <= E.CUR_REP_MAX
+        and i in lm
+        and E.CUR_NLL_LO <= lm[i]["mean_nll_x1e6"] <= E.CUR_NLL_HI
+    )
+    assert sum(r["n_tok"] for r in sel) <= math.floor(surv_tok * E.CUR_BUDGET_FRAC)
