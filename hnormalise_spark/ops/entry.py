@@ -1709,6 +1709,48 @@ def _oracle_lm_score() -> str:
     """
 
 
+def q_lm_bigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram LM scoring (first token scored by the unigram model):
+    two model-sized count shuffles, broadcast model joins, per-doc
+    integer-micro-nat NLL on a pre-explode doc partitioning."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.lm_bigram_score(docs)
+
+
+def _oracle_lm_bigram() -> str:
+    return """
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+                  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    tok AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos FROM base),
+    uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+    st AS (SELECT sum(c1) AS t, count(*) AS v FROM uni),
+    tp AS (SELECT doc_id, pos, w,
+                  lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS p
+           FROM tok),
+    big AS (SELECT p, w, count(*) AS c2 FROM tp WHERE p IS NOT NULL GROUP BY 1, 2),
+    sc AS (SELECT tp.doc_id,
+                  CASE WHEN tp.p IS NULL
+                       THEN floor(-ln((u.c1 + 1.0) / (st.t + st.v)) * 1000000.0 + 0.5)
+                       ELSE floor(-ln((b.c2 + 1.0) / (up.c1 + st.v)) * 1000000.0 + 0.5)
+                  END::BIGINT AS nll
+           FROM tp
+           JOIN uni u ON tp.w = u.w
+           LEFT JOIN uni up ON tp.p = up.w
+           LEFT JOIN big b ON tp.p = b.p AND tp.w = b.w
+           CROSS JOIN st)
+    SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tok,
+           sum(nll)::BIGINT AS sum_nll_x1e6,
+           floor(sum(nll)::DOUBLE / count(*))::BIGINT AS mean_nll_x1e6
+    FROM sc GROUP BY 1
+    """
+
+
 def q_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style within-doc repetition signals (top-bigram /
     top-trigram occupancy, duplicated-5-gram fraction); ONE Exchange —
@@ -2112,6 +2154,7 @@ def queries():
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "lm_score": q_lm_score,
+        "lm_bigram": q_lm_bigram,
         "repetition": q_repetition,
         "dup_spans": q_dup_spans,
         "budget_select": q_budget_select,
@@ -2159,6 +2202,7 @@ def oracle_sql():
         "vocab_topk": _oracle_vocab_topk(),
         "bpe_pairs": _oracle_bpe_pairs(),
         "lm_score": _oracle_lm_score(),
+        "lm_bigram": _oracle_lm_bigram(),
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
         "budget_select": _oracle_budget_select(),

@@ -787,3 +787,83 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("_nt").cast("long").alias("n_tokens"),
         )
     )
+
+
+def lm_bigram_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model scoring with add-one smoothing: score
+    every document by mean NLL under p(w_i | w_{i-1}) =
+    (c2(prev,w)+1) / (c1(prev)+V), the first token under the unigram
+    model — one step closer to the KenLM-style perplexity filters used
+    by CCNet/ROOTS than ``lm_unigram_score``, while staying fully
+    SQL-mirrorable.
+
+    Scale shape mirrors the unigram op: TWO map-side-combined count
+    shuffles (unigram vocab, bigram table — both collapse to model
+    size before their exchange), broadcast joins of both models onto
+    the exploded corpus (for a bigram table past broadcast size drop
+    the hints: same plan, shuffle joins on the token keys), and the
+    per-doc aggregate on a doc partitioning established before the
+    explode. Per-token NLL is integer micro-nats before the sum.
+
+    Returns (doc_id, n_tok, sum_nll_x1e6, mean_nll_x1e6).
+    """
+    toks = _words(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+
+    uni = (
+        base.select(F.explode("_toks").alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    stats = uni.agg(F.sum("_c1").alias("_t"), F.count(F.lit(1)).alias("_v"))
+
+    n = F.size("_toks")
+    pos_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.element_at("_toks", i).alias("w"),
+            F.when(i > 1, F.element_at("_toks", i - 1)).alias("p"),
+        ),
+    )
+    tok = (
+        base.repartition(F.col("_doc"))
+        .select("_doc", F.explode(pos_structs).alias("t"))
+        .select("_doc", F.col("t.w").alias("_w"), F.col("t.p").alias("_p"))
+    )
+    big = (
+        tok.filter(F.col("_p").isNotNull())
+        .groupBy("_p", "_w")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+    )
+    prev_cnt = uni.select(F.col("_w").alias("_p"), F.col("_c1").alias("_c1p"))
+
+    scored = (
+        tok.join(F.broadcast(uni), "_w")
+        .join(F.broadcast(prev_cnt), "_p", "left")
+        .join(F.broadcast(big), ["_p", "_w"], "left")
+        .crossJoin(F.broadcast(stats))
+    )
+    nll = F.when(
+        F.col("_p").isNull(),
+        -F.log((F.col("_c1") + F.lit(1.0)) / (F.col("_t") + F.col("_v"))),
+    ).otherwise(
+        -F.log((F.col("_c2") + F.lit(1.0)) / (F.col("_c1p") + F.col("_v")))
+    )
+    scored = scored.select(
+        "_doc", F.floor(nll * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_nll")
+    )
+    return (
+        scored.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("_nll").cast("long").alias("sum_nll_x1e6"),
+            F.floor(F.sum("_nll") / F.count(F.lit(1))).cast("long").alias(
+                "mean_nll_x1e6"
+            ),
+        )
+        .withColumnRenamed("_doc", "doc_id")
+    )

@@ -363,3 +363,35 @@ def test_curation_pipeline_invariants(spark, tmp_path, monkeypatch):
         and E.CUR_NLL_LO <= lm[i]["mean_nll_x1e6"] <= E.CUR_NLL_HI
     )
     assert sum(r["n_tok"] for r in sel) <= math.floor(surv_tok * E.CUR_BUDGET_FRAC)
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring
+
+
+def test_lm_bigram_score_matches_hand_computation(spark):
+    from hnormalise_spark.ops.textops import lm_bigram_score
+
+    docs = _docs(spark, [(1, "a b a"), (2, "b a")])
+    out = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    # uni: a=3, b=2 -> T=5, V=2; bigrams: (a,b)=1, (b,a)=2
+    def f(x):
+        return math.floor(-math.log(x) * 1e6 + 0.5)
+
+    # doc1: p(a)=(3+1)/(5+2); p(b|a)=(1+1)/(3+2); p(a|b)=(2+1)/(2+2)
+    want1 = f(4 / 7) + f(2 / 5) + f(3 / 4)
+    # doc2: p(b)=(2+1)/7; p(a|b)=(2+1)/(2+2)
+    want2 = f(3 / 7) + f(3 / 4)
+    assert out[1]["sum_nll_x1e6"] == want1 and out[1]["n_tok"] == 3
+    assert out[2]["sum_nll_x1e6"] == want2 and out[2]["n_tok"] == 2
+    assert out[1]["mean_nll_x1e6"] == want1 // 3
+
+
+def test_lm_bigram_predictable_text_scores_lower(spark):
+    from hnormalise_spark.ops.textops import lm_bigram_score
+
+    # doc 1 repeats a fixed bigram chain; doc 2 is the same unigram
+    # bag but shuffled order -> bigram model must prefer doc 1
+    docs = _docs(spark, [(1, "a b a b a b a b"), (2, "a a b b a b b a")])
+    out = {r["doc_id"]: r["mean_nll_x1e6"] for r in lm_bigram_score(docs).collect()}
+    assert out[1] < out[2]
