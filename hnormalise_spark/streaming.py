@@ -389,3 +389,86 @@ def streaming_dedup_bounded(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_indexed(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    index_path: str,
+    max_files: int = 1,
+    snapshot_prefix: str = "stream",
+) -> StreamingQuery:
+    """Incremental-ingestion dedup as a stream over the DURABLE
+    fingerprint index: each micro-batch collapses its own duplicates,
+    probes the snapshot-committed index (partition-pruned to the
+    batch's fp_buckets), emits only novel rows, and commits the novel
+    fingerprints back as a new index snapshot — so later micro-batches,
+    restarts, AND other pipelines all see them.
+
+    This is the table-layer counterpart of ``streaming_dedup``'s
+    state-store fingerprints: the state here is queryable, compactable
+    (``table.compact``), shared across jobs, and survives checkpoint
+    loss. Idempotent per micro-batch: the output overwrites its own
+    ``batch_id`` partition and the index commit is a snapshot keyed by
+    batch_id (``write_snapshot`` of an already-committed id is a
+    no-op), so a replayed batch neither duplicates rows nor re-grows
+    the index. Snapshot ids derive from the batch_id of ONE checkpoint
+    lineage — a second stream writing the same index must use its own
+    ``snapshot_prefix`` or its commits would no-op against the first
+    stream's ids.
+    """
+    from pyspark.sql import Window
+
+    from hnormalise_spark.ops.dedup import FP_BUCKETS, dedup_against_index
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    deduped_path = os.path.join(out_dir, "deduped")
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from hnormalise_spark import table as T
+
+        sess = batch.sparkSession
+        probed = dedup_against_index(sess, batch, index_path).persist()
+        try:
+            # collapse batch-internal duplicates: keep min doc_id
+            w = Window.partitionBy("fingerprint")
+            wr = w.orderBy(F.asc("doc_id"))
+            firsts = (
+                probed.withColumn("_rn", F.row_number().over(wr))
+                .withColumn("n_batch_dups", (F.count(F.lit(1)).over(w) - 1).cast("int"))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            novel = firsts.filter(F.col("is_known_dup") == 0).persist()
+            (
+                novel.drop("is_known_dup", "dup_of")
+                .write.mode("overwrite")
+                .parquet(os.path.join(deduped_path, f"batch_id={batch_id}"))
+            )
+            from hnormalise_spark.ops.dedup import fingerprint_bucket
+
+            fps = novel.select(
+                "fingerprint",
+                F.col("doc_id").alias("keeper_id"),
+                fingerprint_bucket(F.col("fingerprint"), FP_BUCKETS).alias(
+                    "fp_bucket"
+                ),
+            )
+            T.write_snapshot(
+                fps, index_path, f"{snapshot_prefix}-b{batch_id}", partition_by=("fp_bucket",)
+            )
+            novel.unpersist()
+        finally:
+            probed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )

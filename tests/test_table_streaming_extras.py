@@ -356,3 +356,58 @@ def test_streaming_dedup_suppresses_across_microbatches(spark, tmp_path):
     assert kept_alpha[0] == "d0" and kept_alpha[1] == 1
     assert got["unique one"] == ("d2", 0)
     assert got["gamma delta"][1] == 0
+
+
+def test_streaming_dedup_indexed_durable_cross_batch(spark, tmp_path):
+    """Stream dedup through the DURABLE fingerprint index: history
+    dups suppressed, in-batch dups collapsed, a batch-2 repeat of a
+    batch-1 novel row is caught via the index snapshot batch 1
+    committed (no state store involved), and the index grows by
+    exactly the novel fingerprints."""
+    import os
+    import time as _time
+
+    from hnormalise_spark import streaming, table
+    from hnormalise_spark.ops.dedup import build_fingerprint_index
+
+    idx = str(tmp_path / "fpidx")
+    hist = spark.createDataFrame(
+        [("h1", "old doc one"), ("h2", "old doc two")],
+        "doc_id string, text string",
+    )
+    build_fingerprint_index(hist, idx)
+    base_n = table.read_committed(spark, idx).count()
+
+    src = str(tmp_path / "src")
+    batches = [
+        # dup-of-history (normalization-insensitive), novel A (+in-batch dup)
+        [("n1", "  OLD   doc one "), ("n2", "fresh alpha"), ("n3", "fresh  ALPHA")],
+        # cross-batch dup of A (via the index!), novel B
+        [("n4", "fresh alpha"), ("n5", "fresh beta")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(0.2)
+
+    out = str(tmp_path / "out")
+    q = streaming.streaming_dedup_indexed(spark, src, out, idx, max_files=1)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(os.path.join(out, "deduped")).collect()
+    by_doc = {r["doc_id"]: r for r in got}
+    # only the two genuinely novel docs came through
+    assert set(by_doc) == {"n2", "n5"}
+    assert by_doc["n2"]["n_batch_dups"] == 1  # n3 collapsed in-batch
+    assert by_doc["n5"]["n_batch_dups"] == 0
+    # the index grew by exactly the two novel fingerprints
+    assert table.read_committed(spark, idx).count() == base_n + 2
+
+    # replaying the same input against the SAME index emits nothing
+    out2 = str(tmp_path / "out2")
+    q2 = streaming.streaming_dedup_indexed(spark, src, out2, idx, max_files=1)
+    q2.awaitTermination(300)
+    rep = spark.read.parquet(os.path.join(out2, "deduped"))
+    assert rep.count() == 0
+    assert table.read_committed(spark, idx).count() == base_n + 2
