@@ -395,3 +395,73 @@ def test_lm_bigram_predictable_text_scores_lower(spark):
     docs = _docs(spark, [(1, "a b a b a b a b"), (2, "a a b b a b b a")])
     out = {r["doc_id"]: r["mean_nll_x1e6"] for r in lm_bigram_score(docs).collect()}
     assert out[1] < out[2]
+
+
+# ---------------------------------------------------------------------------
+# randomized cross-checks against independent pure-Python references
+
+
+def test_repetition_stats_matches_python_reference_randomized(spark):
+    import random
+    from collections import Counter
+
+    from hnormalise_spark.ops.textops import repetition_stats
+
+    rng = random.Random(0x5EED)
+    vocab = [f"w{i}" for i in range(6)]  # small vocab -> real repetition
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(2, 25))))
+        for i in range(1, 81)
+    ]
+    got = {r["doc_id"]: r for r in repetition_stats(_docs(spark, rows)).collect()}
+
+    def frac(num, den):
+        return math.floor(num * 1e6 / den + 0.5) if den else 0
+
+    for i, text in rows:
+        words = text.split()
+        r = got[i]
+        assert r["n_tok"] == len(words)
+        for k, col, dup in [
+            (2, "top_bigram_frac_x1e6", False),
+            (3, "top_trigram_frac_x1e6", False),
+            (5, "dup_5gram_frac_x1e6", True),
+        ]:
+            grams = [" ".join(words[j : j + k]) for j in range(len(words) - k + 1)]
+            c = Counter(grams)
+            if dup:
+                want = frac(sum(v for v in c.values() if v > 1), len(grams))
+            else:
+                want = frac(max(c.values()), len(grams)) if grams else 0
+            assert r[col] == want, (i, col)
+
+
+def test_lm_bigram_matches_python_reference_randomized(spark):
+    import random
+    from collections import Counter
+
+    from hnormalise_spark.ops.textops import lm_bigram_score
+
+    rng = random.Random(0xB16)
+    vocab = [f"t{i}" for i in range(9)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 15))))
+        for i in range(1, 61)
+    ]
+    uni = Counter(w for _i, t in rows for w in t.split())
+    T, V = sum(uni.values()), len(uni)
+    big = Counter(
+        (ws[j], ws[j + 1])
+        for _i, t in rows
+        for ws in [t.split()]
+        for j in range(len(ws) - 1)
+    )
+    got = {r["doc_id"]: r for r in lm_bigram_score(_docs(spark, rows)).collect()}
+    for i, text in rows:
+        ws = text.split()
+        want = math.floor(-math.log((uni[ws[0]] + 1) / (T + V)) * 1e6 + 0.5)
+        for j in range(1, len(ws)):
+            p = (big[(ws[j - 1], ws[j])] + 1) / (uni[ws[j - 1]] + V)
+            want += math.floor(-math.log(p) * 1e6 + 0.5)
+        assert got[i]["sum_nll_x1e6"] == want, i
+        assert got[i]["mean_nll_x1e6"] == want // len(ws)
