@@ -2070,7 +2070,10 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("quality_x1e4"),
     )
-    surv = rep_ok.join(lm_ok, "doc_id").join(qual, "doc_id")
+    # the survivor frame feeds four downstream actions (budget total,
+    # bucket histogram, keep filter, boundary window) — persist it so
+    # the repetition+LM chain runs once, not four times
+    surv = rep_ok.join(lm_ok, "doc_id").join(qual, "doc_id").persist()
     total = surv.agg(F.sum("n_tok")).collect()[0][0] or 0
     budget = math.floor(total * CUR_BUDGET_FRAC)
     sel = S.budget_select(
