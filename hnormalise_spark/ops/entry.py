@@ -2124,6 +2124,26 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return T.bpe_train(docs, n_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer closure: train 8 BPE merges on the corpus, then apply
+    them vocab-side and report per-doc compression (words, chars,
+    post-merge subword count). Depends on runtime-learned merges, so
+    rows-only for the driver; pytest pins the encode fold against a
+    pure-Python reference."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in T.bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    return T.bpe_encode(docs, merges)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -2156,6 +2176,7 @@ def queries():
         "vocab_topk": q_vocab_topk,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
         "repetition": q_repetition,

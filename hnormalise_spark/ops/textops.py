@@ -867,3 +867,78 @@ def lm_bigram_score(
         )
         .withColumnRenamed("_doc", "doc_id")
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus — the encode side of
+    ``bpe_train``, closing the tokenizer loop (train on the corpus,
+    then measure what the learned vocabulary buys).
+
+    The standard implementation trick at scale: merges are applied to
+    the VOCABULARY (distinct words), not the corpus — each merge is a
+    pure-JVM fold over the word's symbol array (same fold as training,
+    chained in rank order), and the corpus then broadcast-joins the
+    word→n_subwords map. Corpus-side work is one explode + join +
+    per-doc aggregate on a pre-explode doc partitioning.
+
+    Returns (doc_id, n_words, n_chars, n_bpe_tokens) — n_bpe_tokens is
+    the post-merge subword count (== n_chars when merges is empty,
+    monotonically non-increasing as merges are added).
+    """
+    toks = _words(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+
+    vocab = (
+        base.select(F.explode("_toks").alias("_w"))
+        .distinct()
+        .select(
+            "_w", F.array_remove(F.split(F.col("_w"), "(?!^)"), "").alias("_syms")
+        )
+    )
+    def _apply_merge(arr: Column, left: str, right: str) -> Column:
+        # the lambda is evaluated synchronously inside F.aggregate, so
+        # plain closure capture is safe (and extra defaulted lambda
+        # params would break pyspark's arity inspection)
+        merged = left + right
+        return F.aggregate(
+            arr,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
+    syms = F.col("_syms")
+    for left, right in merges:
+        syms = _apply_merge(syms, left, right)
+    encoded = vocab.select(
+        "_w",
+        F.size(syms).alias("_n_sub"),
+        F.length("_w").alias("_n_chars"),
+    )
+    ex = (
+        base.repartition(F.col("_doc"))
+        .select("_doc", F.explode("_toks").alias("_w"))
+        .join(F.broadcast(encoded), "_w")
+    )
+    return (
+        ex.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("_n_chars").cast("long").alias("n_chars"),
+            F.sum("_n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumnRenamed("_doc", "doc_id")
+    )

@@ -465,3 +465,63 @@ def test_lm_bigram_matches_python_reference_randomized(spark):
             want += math.floor(-math.log(p) * 1e6 + 0.5)
         assert got[i]["sum_nll_x1e6"] == want, i
         assert got[i]["mean_nll_x1e6"] == want // len(ws)
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (applying learned merges)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    from hnormalise_spark.ops.textops import bpe_encode, bpe_train
+
+    texts = ["lower lower lowest low low", "newer newest new wider wide"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+
+    def encode_word(w):
+        syms = list(w)
+        for l_, r_ in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l_ and s == r_:
+                    out[-1] = l_ + r_
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(texts):
+        words = t.split()
+        assert got[i]["n_words"] == len(words)
+        assert got[i]["n_chars"] == sum(len(w) for w in words)
+        assert got[i]["n_bpe_tokens"] == sum(encode_word(w) for w in words)
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    from hnormalise_spark.ops.textops import bpe_encode
+
+    docs = _docs(spark, [(1, "ab cde")])
+    r = bpe_encode(docs, []).collect()[0]
+    assert r["n_bpe_tokens"] == r["n_chars"] == 5 and r["n_words"] == 2
+
+
+def test_bpe_encode_monotone_in_merges(spark):
+    from hnormalise_spark.ops.textops import bpe_encode, bpe_train
+
+    docs = _docs(spark, [(1, "aaab aaab aab")])
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()
+    ]
+    counts = [
+        bpe_encode(docs, merges[:k]).collect()[0]["n_bpe_tokens"]
+        for k in range(len(merges) + 1)
+    ]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > counts[-1]
