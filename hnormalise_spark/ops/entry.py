@@ -2124,6 +2124,42 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return T.bpe_train(docs, n_merges=8)
 
 
+TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed tf-idf: one corpus Exchange
+    (doc repartition feeds the tf aggregate and the top-k window),
+    broadcast document frequencies."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.tfidf_topk(docs, k=TFIDF_K)
+
+
+def _oracle_tfidf_topk() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    ex AS (SELECT doc_id, unnest(w) AS term FROM base),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM base),
+    sc AS (SELECT tf.doc_id, tf.term,
+                  floor(tf.tf * ln((nd.n + 1.0) / (dfq.df + 1.0)) * 1000000.0 + 0.5)::BIGINT
+                    AS tfidf_x1e6
+           FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf_x1e6 DESC, term) AS rn
+           FROM sc)
+    SELECT doc_id::BIGINT AS doc_id, term, tfidf_x1e6 FROM rk WHERE rn <= {TFIDF_K}
+    """
+
+
 def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer closure: train 8 BPE merges on the corpus, then apply
     them vocab-side and report per-doc compression (words, chars,
@@ -2177,6 +2213,7 @@ def queries():
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
         "repetition": q_repetition,
@@ -2229,6 +2266,7 @@ def oracle_sql():
         "lm_bigram": _oracle_lm_bigram(),
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
+        "tfidf_topk": _oracle_tfidf_topk(),
         "budget_select": _oracle_budget_select(),
         "budget_select_grouped": _oracle_budget_select_grouped(),
         "filter_funnel": _oracle_filter_funnel(),

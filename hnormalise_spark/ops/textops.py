@@ -942,3 +942,60 @@ def bpe_encode(
         )
         .withColumnRenamed("_doc", "doc_id")
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf (idf = ln((N+1)/(df+1)),
+    the smoothed variant) — the keyword-extraction complement of the
+    BM25 retrieval ops.
+
+    Scale shape: ONE corpus-sized Exchange. Documents repartition by
+    doc id before the explode, so the (doc, term) tf aggregate AND the
+    per-doc top-k window both reuse that partitioning; document
+    frequencies reduce to vocabulary size map-side and broadcast back.
+    Ties break (score desc, term asc); scores are integer micro-units
+    (floor(x*1e6+0.5)) so cross-engine comparison is exact.
+
+    Returns (doc_id, term, tfidf_x1e6), k rows per non-empty doc (fewer
+    when the doc has under k distinct terms).
+    """
+    from pyspark.sql import Window
+
+    toks = _words(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+
+    ex = base.repartition(F.col("_doc")).select(
+        "_doc", F.explode("_toks").alias("term")
+    )
+    tf = ex.groupBy("_doc", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ndocs = base.agg(F.count(F.lit(1)).alias("_n"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf_x1e6",
+            F.floor(
+                F.col("_tf")
+                * F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0)))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("_doc").orderBy(
+        F.desc("tfidf_x1e6"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_doc").alias("doc_id"), "term", "tfidf_x1e6")
+    )

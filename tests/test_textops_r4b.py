@@ -525,3 +525,48 @@ def test_bpe_encode_monotone_in_merges(spark):
     ]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > counts[-1]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+
+
+def test_tfidf_topk_hand_example(spark):
+    from hnormalise_spark.ops.textops import tfidf_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+    )
+    out = {}
+    for r in tfidf_topk(docs, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["term"], r["tfidf_x1e6"]))
+
+    def score(tf, df):
+        return math.floor(tf * math.log(4 / (df + 1)) * 1e6 + 0.5)
+
+    # doc1: apple tf=2 df=1 beats banana tf=1 df=2; 'common' df=3 -> 0
+    assert out[1][0] == ("apple", score(2, 1))
+    assert out[1][1] == ("banana", score(1, 2))
+    # doc3: cherry tf=3 df=2 dominates
+    assert out[3][0] == ("cherry", score(3, 2))
+    assert all(len(v) == 2 for v in out.values())
+
+
+def test_tfidf_topk_no_composite_shuffle(spark):
+    import re
+
+    from hnormalise_spark.ops.textops import tfidf_topk
+
+    docs = _docs(spark, [(1, "a b c"), (2, "c d e")])
+    plan = tfidf_topk(docs)._jdf.queryExecution().executedPlan().toString()
+    # the (doc, term) tf aggregate and the per-doc top-k window both
+    # reuse the doc repartition: no shuffle keyed on the composite
+    # (corpus-sized) key may appear — only doc-keyed exchanges plus the
+    # vocabulary-sized term aggregate feeding the broadcast
+    assert not re.search(r"hashpartitioning\(_doc#\d+L?, term", plan), plan
+    assert re.search(r"hashpartitioning\(_doc#\d+L?, \d+\)", plan), plan
