@@ -2124,6 +2124,73 @@ def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     return T.bpe_train(docs, n_merges=8)
 
 
+GATED_QUALITY_MIN = 8930  # quality_x1e4 gate (~corpus median: the gate actually bites)
+GATED_K = 20
+
+
+def q_quality_gated_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gated retrieval across tables: top-k by cosine among
+    documents passing a quality gate (the 'retrieve only from curated
+    docs' pattern). The gate filters the documents scan FIRST (column-
+    pruned to doc_id+text), the surviving ids join the embeddings on
+    the shared id (co-partitionable equi-join at scale), scoring is
+    map-side against the literal query vector, top-k is
+    TakeOrderedAndProject."""
+    from hnormalise_spark.ops import similarity as S
+    from hnormalise_spark.ops import textops as T
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    gated = docs.select(
+        "doc_id",
+        F.floor(T.quality_score(F.col("text")) * 10000.0 + 0.5)
+        .cast("long")
+        .alias("quality_x1e4"),
+    ).filter(F.col("quality_x1e4") >= GATED_QUALITY_MIN)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("doc_id"), "embedding"
+    )
+    scored = S.cosine_scores(gated.join(emb, "doc_id"), QVEC)
+    return (
+        scored.select(
+            "doc_id",
+            "quality_x1e4",
+            F.floor(F.col("cosine") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), "doc_id")
+        .limit(GATED_K)
+    )
+
+
+def _oracle_quality_gated_topk() -> str:
+    return f"""
+    WITH q AS (
+      SELECT doc_id,
+             floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.6
+                    + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                                BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+                                    / greatest(length(text), 1)) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4
+      FROM documents),
+    g AS (SELECT doc_id, quality_x1e4 FROM q WHERE quality_x1e4 >= {GATED_QUALITY_MIN}),
+    s AS (SELECT g.doc_id, g.quality_x1e4,
+                 list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i -> e.embedding[i]::DOUBLE * ({{qvec}})[i]))
+                 / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                    * {{qnorm}}) AS cos
+          FROM g JOIN embeddings e ON g.doc_id = e.vec_id)
+    SELECT doc_id, quality_x1e4,
+           floor(cos * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+    FROM s ORDER BY cos_x1e6 DESC, doc_id LIMIT {GATED_K}
+    """.replace("{qvec}", _qvec_sql()).replace("{qnorm}", repr(_QNORM))
+
+
 TFIDF_K = 3
 
 
@@ -2214,6 +2281,7 @@ def queries():
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "tfidf_topk": q_tfidf_topk,
+        "quality_gated_topk": q_quality_gated_topk,
         "lm_score": q_lm_score,
         "lm_bigram": q_lm_bigram,
         "repetition": q_repetition,
@@ -2267,6 +2335,7 @@ def oracle_sql():
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
         "tfidf_topk": _oracle_tfidf_topk(),
+        "quality_gated_topk": _oracle_quality_gated_topk(),
         "budget_select": _oracle_budget_select(),
         "budget_select_grouped": _oracle_budget_select_grouped(),
         "filter_funnel": _oracle_filter_funnel(),
