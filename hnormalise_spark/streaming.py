@@ -472,3 +472,53 @@ def streaming_dedup_indexed(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def failure_rate_alerts(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    threshold: float = 0.2,
+    min_lines: int = 10,
+) -> StreamingQuery:
+    """Windowed failure-rate alerting — the operational closure of the
+    parse → route pipeline: per (window, source), emit an alert row
+    when the parse-failure fraction exceeds ``threshold`` (ignoring
+    windows with fewer than ``min_lines`` lines, where a rate is
+    noise). The canonical "a log producer changed its format" pager.
+
+    Same bounded-state shape as ``windowed_counts``: watermarked
+    tumbling windows, append mode (an alert is emitted once, when its
+    window closes — exactly the at-most-once-per-window semantics a
+    pager needs). State is |windows × sources|, independent of line
+    volume.
+    """
+    stream = read_token_stream(spark, in_dir)
+    parsed = normalise_tokens(stream)
+    agg = (
+        parsed.withWatermark("timereported", watermark)
+        .groupBy(F.window("timereported", window), "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0)).alias("n_fail"),
+        )
+        .withColumn(
+            "fail_rate_x1e6",
+            F.floor(F.col("n_fail") * F.lit(1e6) / F.col("n_lines") + F.lit(0.5))
+            .cast("long"),
+        )
+        .filter(
+            (F.col("n_lines") >= min_lines)
+            & (F.col("fail_rate_x1e6") > int(threshold * 1e6))
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "alerts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint_alerts"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -411,3 +411,55 @@ def test_streaming_dedup_indexed_durable_cross_batch(spark, tmp_path):
     rep = spark.read.parquet(os.path.join(out2, "deduped"))
     assert rep.count() == 0
     assert table.read_committed(spark, idx).count() == base_n + 2
+
+
+def test_failure_rate_alerts_fire_per_window_and_source(spark, tmp_path):
+    """Alert stream: a window/source whose failure fraction exceeds the
+    threshold emits ONE alert row when its window closes; healthy
+    windows and low-volume windows stay silent; the still-open final
+    window is withheld."""
+    from hnormalise_spark.tokenizer import retokenize_col
+
+    def _snoopy(hhmmss, i):
+        return (
+            f"<13>1 2017-05-24T{hhmmss}+00:00 h snoopy[{i}]: - snoopy[{i}]::  "
+            f"[uid:1 sid:1 tty:(none) cwd:/ filename:/bin/x]: /bin/x"
+        )
+
+    def _junk(hhmmss, i):
+        # valid envelope (so timereported exists) with a garbage payload
+        return f"<13>1 2017-05-24T{hhmmss}+00:00 h weird[{i}]: - not parseable {i}"
+
+    rows = []
+    # window 10:00: 12 lines, 4 junk -> 33% > 20% -> ALERT
+    rows += [(f"a{i}", _snoopy("10:00:05", i)) for i in range(8)]
+    rows += [(f"aj{i}", _junk("10:00:06", i)) for i in range(4)]
+    # window 10:05: 12 lines, 1 junk -> 8% -> silent
+    rows += [(f"b{i}", _snoopy("10:05:05", i)) for i in range(11)]
+    rows += [("bj0", _junk("10:05:06", 0))]
+    # window 10:10: 5 lines all junk -> under min_lines -> silent
+    rows += [(f"cj{i}", _junk("10:10:05", i)) for i in range(5)]
+    # window 11:00: watermark pusher (still open -> withheld)
+    rows += [(f"d{i}", _snoopy("11:00:05", i)) for i in range(2)]
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id string, raw string").select(
+        "doc_id",
+        retokenize_col("raw").alias("tokens"),
+        F.length("raw").cast("int").alias("n_tok"),
+        F.lit("mixed").alias("source"),
+    ).write.parquet(src)
+
+    out = str(tmp_path / "alerts")
+    q = streaming.failure_rate_alerts(
+        spark, src, out, window="1 minute", watermark="10 minutes",
+        threshold=0.2, min_lines=10,
+    )
+    q.awaitTermination(300)
+
+    alerts = spark.read.parquet(os.path.join(out, "alerts")).collect()
+    assert len(alerts) == 1
+    a = alerts[0]
+    assert a["window"]["start"].minute == 0 and a["window"]["start"].hour == 10
+    assert a["n_lines"] == 12 and a["n_fail"] == 4
+    assert a["fail_rate_x1e6"] == 333333
