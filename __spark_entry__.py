@@ -415,10 +415,9 @@ def _oracle_envelope() -> str:
     """
 
 
-def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
-    """A1 + routing: first-match-wins dispatch over a mixed corpus with
-    deterministic junk, aggregated per (source, parser, parse_ok) —
-    the reference's success/fail counters generalized."""
+def _route_parsed(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared mixed corpus (torque/snoopy/lmod/junk with deterministic
+    bad rows) through the full dispatch — input to the counts family."""
     ev = _spread(
         spark.read.parquet(f"{sf}/events.parquet").select(
             F.col("event_id").cast("long").alias("k")
@@ -446,10 +445,35 @@ def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
         source.alias("source"),
         _env(msg, k).alias("raw"),
     )
-    from hnormalise_spark.pipeline import counts, normalise
+    from hnormalise_spark.pipeline import normalise
 
-    parsed = normalise(df)
-    return counts(parsed).select(
+    return normalise(df)
+
+
+def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 + routing: first-match-wins dispatch over a mixed corpus with
+    deterministic junk, aggregated per (source, parser, parse_ok) —
+    the reference's success/fail counters generalized."""
+    from hnormalise_spark.pipeline import counts
+
+    return counts(_route_parsed(spark, sf)).select(
+        "source",
+        "parser",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_route_counts_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 under explicit skew handling: the SAME counts computed by the
+    two-stage salted aggregate (partial per map-task salt bucket, final
+    re-sum over keys — pipeline.counts_salted). Shares route_counts'
+    oracle: a green row proves salting never changes values, pinning
+    the north rule's skew strategy with the correctness gate instead of
+    a pytest alone."""
+    from hnormalise_spark.pipeline import counts_salted
+
+    return counts_salted(_route_parsed(spark, sf), salt=8).select(
         "source",
         "parser",
         F.col("parse_ok").cast("int").alias("parse_ok"),
@@ -812,6 +836,116 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# grok compiler (north star: "vectorized regex/grok equivalents") — grok
+# pattern strings compiled to ONE JVM regex, fields extracted as typed
+# columns; oracles reconstruct every field by arithmetic (never re-parse)
+# ---------------------------------------------------------------------------
+
+
+def q_grok_sshd(spark: SparkSession, sf: str) -> DataFrame:
+    """Grok end-to-end: sshd accept lines described by a grok pattern,
+    compiled to one Java regex (parsing/grok.py) and extracted as typed
+    JVM columns. A pass proves the compiled regex exactly inverts the
+    line construction."""
+    from hnormalise_spark.parsing.grok import grok_extract
+
+    ev = _spread(
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("event_id").cast("long").alias("k"),
+            F.col("user_id").cast("long").alias("u"),
+        )
+    )
+    k, u = F.col("k"), F.col("u")
+    line = F.format_string(
+        "Accepted %s for user%03d from 10.%d.%d.%d port %d ssh2",
+        F.when(k % 3 == 0, F.lit("password")).otherwise(F.lit("publickey")),
+        u % 500, k % 223 + 1, u % 250, (k * 7) % 250, k % 60000 + 1024,
+    )
+    raw = ev.select(F.format_string("ssh-%d", k).alias("doc_id"), line.alias("raw"))
+    out = grok_extract(
+        raw,
+        "raw",
+        "Accepted %{WORD:method} for %{USERNAME:ssh_user} from "
+        "%{IPV4:src_ip} port %{POSINT:src_port:int} ssh2",
+    )
+    return out.select(
+        "doc_id",
+        "method",
+        "ssh_user",
+        "src_ip",
+        "src_port",
+        F.col("grok_ok").cast("int").alias("grok_ok"),
+    )
+
+
+def _oracle_grok_sshd() -> str:
+    return """
+    SELECT 'ssh-' || event_id AS doc_id,
+           CASE WHEN event_id % 3 = 0 THEN 'password' ELSE 'publickey' END AS method,
+           printf('user%03d', user_id % 500) AS ssh_user,
+           printf('10.%d.%d.%d', event_id % 223 + 1, user_id % 250,
+                  (event_id * 7) % 250) AS src_ip,
+           (event_id % 60000 + 1024)::BIGINT AS src_port,
+           1 AS grok_ok
+    FROM events
+    """
+
+
+def q_grok_apache(spark: SparkSession, sf: str) -> DataFrame:
+    """Grok standard-library pattern (%{COMMONAPACHELOG}) over
+    constructed access-log lines — nested typed fields (response:int,
+    bytes:int) and the quoted-request alternation exercised for real."""
+    from hnormalise_spark.parsing.grok import grok_extract
+
+    o = _spread(
+        spark.read.parquet(f"{sf}/orders.parquet").select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            F.col("o_custkey").cast("long").alias("c"),
+        )
+    )
+    k, c = F.col("k"), F.col("c")
+    verb = F.when(k % 5 == 0, F.lit("POST")).otherwise(F.lit("GET"))
+    status = (
+        F.when(k % 10 == 7, 404).when(k % 10 == 8, 500).when(k % 10 == 9, 304).otherwise(200)
+    )
+    line = F.format_string(
+        '10.%d.%d.%d - user%03d [10/Oct/2000:13:55:36 +0200] "%s /item/%d HTTP/1.1" %d %d',
+        c % 200 + 1, k % 250, c % 250, c % 500, verb, k % 10000, status,
+        (k * 37 + c) % 100000,
+    )
+    raw = o.select(F.format_string("ap-%d", k).alias("doc_id"), line.alias("raw"))
+    out = grok_extract(raw, "raw", "%{COMMONAPACHELOG}")
+    return out.select(
+        "doc_id",
+        "clientip",
+        "auth",
+        "verb",
+        "request",
+        "response",
+        "bytes",
+        F.col("grok_ok").cast("int").alias("grok_ok"),
+    )
+
+
+def _oracle_grok_apache() -> str:
+    return """
+    SELECT 'ap-' || o_orderkey AS doc_id,
+           printf('10.%d.%d.%d', o_custkey % 200 + 1, o_orderkey % 250,
+                  o_custkey % 250) AS clientip,
+           printf('user%03d', o_custkey % 500) AS auth,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'POST' ELSE 'GET' END AS verb,
+           printf('/item/%d', o_orderkey % 10000) AS request,
+           (CASE WHEN o_orderkey % 10 = 7 THEN 404
+                 WHEN o_orderkey % 10 = 8 THEN 500
+                 WHEN o_orderkey % 10 = 9 THEN 304
+                 ELSE 200 END)::BIGINT AS response,
+           ((o_orderkey * 37 + o_custkey) % 100000)::BIGINT AS bytes,
+           1 AS grok_ok
+    FROM orders
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from hnormalise_spark.ops import entry as ops_entry
 
@@ -825,6 +959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "envelope": q_envelope,
         "route_counts": q_route_counts,
         "route_counts_rollup": q_route_counts_rollup,
+        "route_counts_salted": q_route_counts_salted,
+        "grok_sshd": q_grok_sshd,
+        "grok_apache": q_grok_apache,
         "walltime_memory": q_walltime_memory,
         "host_list": q_host_list,
         "enrich_broadcast": q_enrich_broadcast,
@@ -847,6 +984,9 @@ def oracle_sql() -> dict[str, str]:
         "envelope": _oracle_envelope(),
         "route_counts": _oracle_route_counts(),
         "route_counts_rollup": _oracle_route_counts_rollup(),
+        "route_counts_salted": _oracle_route_counts(),
+        "grok_sshd": _oracle_grok_sshd(),
+        "grok_apache": _oracle_grok_apache(),
         "walltime_memory": _oracle_walltime_memory(),
         "host_list": _oracle_host_list(),
         "enrich_broadcast": _oracle_enrich(),

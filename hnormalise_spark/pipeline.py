@@ -385,3 +385,28 @@ def counts(parsed: DataFrame, keys: tuple[str, ...] = ("source", "parser", "pars
     handful of groups; negligible at any scale."""
     cols = [k for k in keys if k in parsed.columns]
     return parsed.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+
+
+def counts_salted(
+    parsed: DataFrame,
+    keys: tuple[str, ...] = ("source", "parser", "parse_ok"),
+    salt: int = 16,
+) -> DataFrame:
+    """counts() as an EXPLICIT two-stage salted aggregate: partial
+    counts per (keys…, salt bucket), then a final re-sum over keys.
+
+    Value-identical to counts() by construction. The salt bucket is the
+    map task id, so stage one is shuffle-local and the hottest key's
+    final-stage input is bounded by the task count, never by the key's
+    row share — the north rule's "salted keys for skewed sources"
+    applied to the aggregate itself. (Spark's hash aggregate already
+    map-side-combines counts; this spells the two-stage shape out so a
+    skewed custom aggregate can reuse it verbatim, and so the oracle
+    can pin that salting does not change values.)"""
+    cols = [k for k in keys if k in parsed.columns]
+    partial = (
+        parsed.withColumn("_salt", F.spark_partition_id() % F.lit(salt))
+        .groupBy(*cols, "_salt")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
+    return partial.groupBy(*cols).agg(F.sum("_pn").alias("n"))
