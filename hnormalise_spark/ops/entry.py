@@ -2251,6 +2251,33 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
 # registry
 
 
+def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type cardinality profile: total events plus EXACT
+    distinct users and distinct active days in ONE pass (Spark's
+    Expand + partial-dedup-before-shuffle multi-distinct plan — see
+    ops/timeseries.distinct_profile for the 100-TB argument)."""
+    from hnormalise_spark.ops.timeseries import distinct_profile
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    d = distinct_profile(ev)
+    return d.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("n_days").cast("long").alias("n_days"),
+    )
+
+
+def _oracle_distinct_counts() -> str:
+    return """
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users,
+           COUNT(DISTINCT ts::DATE)::BIGINT AS n_days
+    FROM events GROUP BY event_type
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -2294,6 +2321,7 @@ def queries():
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_session_stats": q_events_session_stats,
+        "distinct_counts": q_distinct_counts,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
         "multimodal_features": q_multimodal,
@@ -2347,6 +2375,7 @@ def oracle_sql():
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),
         "events_session_stats": _oracle_events_session_stats(),
+        "distinct_counts": _oracle_distinct_counts(),
         "bm25_topk": _oracle_bm25_topk(),
         "bm25_indexed": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),

@@ -225,21 +225,33 @@ def live_snapshots(table_path: str) -> list[dict]:
 
 
 def read_committed(
-    spark: SparkSession, table_path: str, snapshot_ids: list[str] | None = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_ids: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Union of all live committed snapshots (uncommitted orphan dirs
     and compaction-superseded snapshots are NOT read —
     commit-then-visible). The ``snapshot_id`` partition column is kept
     on the rows (basePath read), so per-snapshot lineage survives.
     ``snapshot_ids`` pins an explicit set instead of re-reading the
-    manifest (compaction's validated input set)."""
+    manifest (compaction's validated input set).
+
+    ``merge_schema=True`` reconciles evolved schemas across snapshots
+    (Iceberg-style add-column evolution: a later snapshot may carry new
+    columns; earlier rows read them as null). Costs one footer read per
+    file — metadata-only, unaffected by data volume — so it is safe at
+    100 TB, but off by default since same-schema tables skip it."""
     ids = snapshot_ids
     if ids is None:
         ids = [s["snapshot_id"] for s in live_snapshots(table_path)]
     if not ids:
         raise FileNotFoundError(f"no committed snapshots in {table_path}")
     paths = [snapshot_data_path(table_path, s) for s in ids]
-    return spark.read.option("basePath", os.path.join(table_path, "data")).parquet(*paths)
+    reader = spark.read.option("basePath", os.path.join(table_path, "data"))
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def read_snapshot(spark: SparkSession, table_path: str, snapshot_id: str) -> DataFrame:
@@ -355,3 +367,44 @@ def compact(
         f"compaction {snapshot_id} on {table_path} aborted {max_attempts} "
         "times: the live snapshot set kept changing under it"
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout — the co-located-join table format
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    keys: tuple[str, ...],
+    buckets: int = 32,
+    sort: bool = True,
+) -> str:
+    """Persist ``df`` as a hash-bucketed (and per-bucket sorted)
+    parquet table registered in the session catalog.
+
+    This is the 100-TB co-located-join layout: two tables bucketed on
+    the same keys with the same bucket count join with ZERO Exchange —
+    each task reads bucket i of both sides — and with ``sort=True`` the
+    sort-merge join also skips its per-task Sort. Pay the shuffle once
+    at write time, reuse it across every downstream join/aggregate on
+    those keys (fact/dim co-location, incremental dedup against a
+    persisted index, posting-list probes). Bucket pruning applies to
+    equality predicates on the bucket keys.
+
+    Returns the catalog table name (query with ``spark.table(name)``).
+    An external table: data lives at ``path``, the catalog entry only
+    records layout metadata, exactly how a warehouse would share the
+    layout across jobs.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *keys)
+    )
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(name)
+    return name

@@ -180,3 +180,40 @@ def test_sessionize_null_ts_rows_do_not_corrupt_real_chain(spark):
     # null-ts rows take their own session slot; the real events still
     # split on the 2h gap (> 30min) and stay ordered
     assert got[3] == got[1] + 1 and got[2] not in (got[1], got[3])
+
+
+def test_distinct_profile_exact_and_approx_bound(spark):
+    """distinct_profile is exact; approx_count_distinct (the 100-TB
+    swap-in) lands within its documented rsd of the exact value, and
+    the multi-distinct plan is the single-pass Expand shape."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hnormalise_spark.ops.timeseries import distinct_profile
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i * 7) % 20, i % 24), (i * 13) % 311,
+         "a" if i % 3 else "b")
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    prof = distinct_profile(ev)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # one pass for both DISTINCTs, not two scans
+    exact = {r["event_type"]: r for r in prof.collect()}
+    assert exact["a"]["n_events"] + exact["b"]["n_events"] == 2000
+    assert exact["a"]["n_users"] <= 311 and exact["a"]["n_days"] <= 20
+
+    approx = {
+        r["event_type"]: r["au"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("au"))
+        .collect()
+    }
+    for t, r in exact.items():
+        assert abs(approx[t] - r["n_users"]) <= max(3, 0.05 * r["n_users"]), (
+            t, approx[t], r["n_users"],
+        )
