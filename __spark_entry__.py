@@ -830,6 +830,157 @@ def _oracle_json_input() -> str:
     """
 
 
+def _slurm_line(k: F.Column, c: F.Column) -> F.Column:
+    state = (
+        F.when(k % 5 == 0, F.lit("COMPLETED"))
+        .when(k % 5 == 1, F.lit("FAILED"))
+        .when(k % 5 == 2, F.lit("TIMEOUT"))
+        .when(k % 5 == 3, F.lit("NODE_FAIL"))
+        .otherwise(F.format_string("CANCELLED by %d", c % 10000))
+    )
+    tl = F.when(k % 7 == 0, F.lit("UNLIMITED")).otherwise((k % 1440 + 1).cast("string"))
+    nodes = (
+        F.when(k % 4 == 0, F.format_string("c%d-[%03d-%03d]", k % 7, k % 50 + 1, k % 50 + 1 + k % 5))
+        .when(k % 4 == 1, F.format_string("gpu%d", k))
+        .when(k % 4 == 2, F.format_string("a[%d],b[%d-%d]", k % 9, k % 20, k % 20 + k % 3))
+        .otherwise(F.lit("(null)"))
+    )
+    ncnt = (
+        F.when(k % 4 == 0, k % 5 + 1)
+        .when(k % 4 == 1, F.lit(1).cast("long"))
+        .when(k % 4 == 2, k % 3 + 2)
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return F.format_string(
+        "slurmctld: JobId=%d UserId=user%03d(%d) GroupId=grp%d(%d) "
+        "Name=job_%d JobState=%s Partition=p%d TimeLimit=%s "
+        "StartTime=2024-01-%02dT%02d:%02d:00 EndTime=2024-01-%02dT%02d:%02d:00 "
+        "NodeList=%s NodeCnt=%d ProcCnt=%d WorkDir=/scratch/u%d",
+        k, c % 500, c % 10000, c % 50, c % 50 + 3000,
+        k, state, k % 6, tl,
+        k % 28 + 1, k % 10, k % 60,
+        k % 28 + 1, k % 10 + k % 13 + 1, k % 60,
+        nodes, ncnt, ncnt * (k % 16 + 1), c % 500,
+    )
+
+
+def q_parse_slurm(spark: SparkSession, sf: str) -> DataFrame:
+    """North-star "Slurm accounting" family (parsing/slurm.py): KV
+    record parse, CANCELLED-by normalisation, UNLIMITED time limits,
+    compressed-hostlist expansion (ranges, padding, multi-group,
+    (null)), derived duration. A pass proves the parser exactly inverts
+    the construction for every variant."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    k, c = F.col("k"), F.col("c")
+    parsed = _norm(
+        orders.withColumn("c", c), _env(_slurm_line(k, c), k), F.format_string("su-%d", k)
+    )
+    s = F.col("slurm")
+    return parsed.select(
+        "doc_id",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        s["job_id"].alias("job_id"),
+        s["user"].alias("job_user"),
+        s["uid"].alias("uid"),
+        s["job_state"].alias("job_state"),
+        s["cancelled_by"].alias("cancelled_by"),
+        s["partition"].alias("partition"),
+        s["time_limit_minutes"].alias("time_limit_minutes"),
+        F.date_format(s["start_time"], "yyyy-MM-dd'T'HH:mm:ss").alias("start_iso"),
+        s["duration_seconds"].alias("duration_seconds"),
+        F.size(s["node_list"]).cast("long").alias("n_nodes"),
+        # try_: the (null)-hostlist rows carry an EMPTY array; ANSI
+        # element_at throws on it instead of yielding null
+        F.try_element_at(s["node_list"], F.lit(1)).alias("first_node"),
+        s["node_cnt"].alias("node_cnt"),
+        s["proc_cnt"].alias("proc_cnt"),
+    )
+
+
+def _oracle_slurm() -> str:
+    return """
+    SELECT 'su-' || o_orderkey AS doc_id,
+           1 AS parse_ok,
+           o_orderkey AS job_id,
+           printf('user%03d', o_custkey % 500) AS job_user,
+           (o_custkey % 10000)::BIGINT AS uid,
+           CASE o_orderkey % 5 WHEN 0 THEN 'COMPLETED' WHEN 1 THEN 'FAILED'
+                WHEN 2 THEN 'TIMEOUT' WHEN 3 THEN 'NODE_FAIL'
+                ELSE 'CANCELLED' END AS job_state,
+           CASE WHEN o_orderkey % 5 = 4 THEN (o_custkey % 10000)::BIGINT END AS cancelled_by,
+           'p' || (o_orderkey % 6) AS partition,
+           CASE WHEN o_orderkey % 7 <> 0 THEN (o_orderkey % 1440 + 1)::BIGINT END AS time_limit_minutes,
+           printf('2024-01-%02dT%02d:%02d:00', o_orderkey % 28 + 1,
+                  o_orderkey % 10, o_orderkey % 60) AS start_iso,
+           ((o_orderkey % 13 + 1) * 3600)::BIGINT AS duration_seconds,
+           (CASE o_orderkey % 4 WHEN 0 THEN o_orderkey % 5 + 1 WHEN 1 THEN 1
+                 WHEN 2 THEN o_orderkey % 3 + 2 ELSE 0 END)::BIGINT AS n_nodes,
+           CASE o_orderkey % 4
+                WHEN 0 THEN printf('c%d-%03d', o_orderkey % 7, o_orderkey % 50 + 1)
+                WHEN 1 THEN 'gpu' || o_orderkey
+                WHEN 2 THEN 'a' || (o_orderkey % 9) END AS first_node,
+           (CASE o_orderkey % 4 WHEN 0 THEN o_orderkey % 5 + 1 WHEN 1 THEN 1
+                 WHEN 2 THEN o_orderkey % 3 + 2 ELSE 0 END)::BIGINT AS node_cnt,
+           ((CASE o_orderkey % 4 WHEN 0 THEN o_orderkey % 5 + 1 WHEN 1 THEN 1
+                 WHEN 2 THEN o_orderkey % 3 + 2 ELSE 0 END)
+            * (o_orderkey % 16 + 1))::BIGINT AS proc_cnt
+    FROM orders
+    """
+
+
+def q_slurm_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """parse → aggregate over the Slurm family: per (partition,
+    job_state) job counts, consumed node-seconds, distinct users, total
+    allocated cores — the cluster-utilisation rollup an accounting log
+    exists to answer. One partial-aggregated shuffle of ~30 groups on
+    top of the shuffle-free parse."""
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    k, c = F.col("k"), F.col("c")
+    parsed = _norm(
+        orders.withColumn("c", c), _env(_slurm_line(k, c), k), F.format_string("su-%d", k)
+    )
+    s = F.col("slurm")
+    return (
+        parsed.groupBy(
+            s["partition"].alias("partition"), s["job_state"].alias("job_state")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_jobs"),
+            F.sum(s["duration_seconds"] * s["node_cnt"]).cast("long").alias("node_seconds"),
+            F.count_distinct(s["uid"]).cast("long").alias("n_users"),
+            F.sum(s["proc_cnt"]).cast("long").alias("total_cores"),
+        )
+    )
+
+
+def _oracle_slurm_partition_stats() -> str:
+    return """
+    WITH s AS (
+      SELECT 'p' || (o_orderkey % 6) AS partition,
+             CASE o_orderkey % 5 WHEN 0 THEN 'COMPLETED' WHEN 1 THEN 'FAILED'
+                  WHEN 2 THEN 'TIMEOUT' WHEN 3 THEN 'NODE_FAIL'
+                  ELSE 'CANCELLED' END AS job_state,
+             (o_orderkey % 13 + 1) * 3600 AS duration_seconds,
+             CASE o_orderkey % 4 WHEN 0 THEN o_orderkey % 5 + 1 WHEN 1 THEN 1
+                  WHEN 2 THEN o_orderkey % 3 + 2 ELSE 0 END AS node_cnt,
+             o_custkey % 10000 AS uid,
+             o_orderkey % 16 + 1 AS ppn
+      FROM orders)
+    SELECT partition, job_state,
+           COUNT(*)::BIGINT AS n_jobs,
+           SUM(duration_seconds * node_cnt)::BIGINT AS node_seconds,
+           COUNT(DISTINCT uid)::BIGINT AS n_users,
+           SUM(node_cnt * ppn)::BIGINT AS total_cores
+    FROM s GROUP BY partition, job_state
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mixed-corpus parse → route → per-(source,parser,ok)
     counts on sf0.001 (the reference's end-to-end dataflow)."""
@@ -956,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_snoopy": q_parse_snoopy,
         "parse_lmod": q_parse_lmod,
         "parse_shorewall": q_parse_shorewall,
+        "parse_slurm": q_parse_slurm,
+        "slurm_partition_stats": q_slurm_partition_stats,
         "envelope": q_envelope,
         "route_counts": q_route_counts,
         "route_counts_rollup": q_route_counts_rollup,
@@ -981,6 +1134,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_snoopy": _oracle_snoopy(),
         "parse_lmod": _oracle_lmod(),
         "parse_shorewall": _oracle_shorewall(),
+        "parse_slurm": _oracle_slurm(),
+        "slurm_partition_stats": _oracle_slurm_partition_stats(),
         "envelope": _oracle_envelope(),
         "route_counts": _oracle_route_counts(),
         "route_counts_rollup": _oracle_route_counts_rollup(),

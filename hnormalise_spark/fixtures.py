@@ -188,6 +188,32 @@ E2E_SNOOPY = (
     "[uid:992 username:nrpe sid:11542 tty:(none) cwd:/ filename:/usr/bin/which]: which python"
 )
 
+# --- slurm accounting (north-star family — no reference counterpart;
+# record shape per the public Slurm jobcomp/filetxt plugin) ---
+SLURM_COMPLETED = (
+    "slurmctld: JobId=20746 UserId=alice(1000) GroupId=astro(1000) "
+    "Name=train_lm JobState=COMPLETED Partition=gpu TimeLimit=720 "
+    "StartTime=2024-03-01T08:15:00 EndTime=2024-03-01T11:45:30 "
+    "NodeList=node[2801-2803,2810] NodeCnt=4 ProcCnt=128 WorkDir=/scratch/alice/run1"
+)
+SLURM_CANCELLED_BY = (  # the one space-containing value filetxt writes
+    "slurmctld: JobId=20747 UserId=bob(1001) GroupId=bio(2002) "
+    "Name=assembly JobState=CANCELLED by 1000 Partition=long TimeLimit=UNLIMITED "
+    "StartTime=2024-03-02T00:00:00 EndTime=2024-03-02T00:05:00 "
+    "NodeList=gpunode07,cpunode[01-02] NodeCnt=3 ProcCnt=96 WorkDir=/home/bob"
+)
+SLURM_NODE_FAIL_NULL = (  # job that never ran: (null) hostlist, zero counts
+    "slurmctld: JobId=20748 UserId=carol(1002) GroupId=ml(2003) "
+    "Name=sweep_7 JobState=NODE_FAIL Partition=batch TimeLimit=60 "
+    "StartTime=2024-03-03T12:00:00 EndTime=2024-03-03T12:00:00 "
+    "NodeList=(null) NodeCnt=0 ProcCnt=0 WorkDir=/home/carol"
+)
+SLURM_BORKED = (  # UserId without (uid) → parse failure
+    "slurmctld: JobId=20749 UserId=mallory Name=x JobState=COMPLETED "
+    "Partition=gpu TimeLimit=1 StartTime=2024-03-04T00:00:00 "
+    "EndTime=2024-03-04T00:01:00 NodeList=n1 NodeCnt=1 ProcCnt=1"
+)
+
 # fixture corpus rows: (id, source, parser-or-None, full syslog line)
 CORPUS: list[tuple[str, str, str | None, str]] = [
     ("tq-exit-fqdn", "torque", "torque_exit", wrap(TORQUE_EXIT_FQDN, tag="torque")),
@@ -209,6 +235,10 @@ CORPUS: list[tuple[str, str, str | None, str]] = [
     ("sw-tcp", "shorewall", "shorewall_tcp", wrap(SHOREWALL_TCP, tag="kernel:")),
     ("sw-udp", "shorewall", "shorewall_udp", wrap(SHOREWALL_UDP, tag="kernel:")),
     ("sw-icmp", "shorewall", "shorewall_icmp", wrap(SHOREWALL_ICMP, tag="kernel:")),
+    ("su-completed", "slurm", "slurm_accounting", wrap(SLURM_COMPLETED, tag="slurmctld:")),
+    ("su-cancelled-by", "slurm", "slurm_accounting", wrap(SLURM_CANCELLED_BY, tag="slurmctld:")),
+    ("su-nodefail-null", "slurm", "slurm_accounting", wrap(SLURM_NODE_FAIL_NULL, tag="slurmctld:")),
+    ("su-borked", "slurm", None, wrap(SLURM_BORKED, tag="slurmctld:")),
     ("sn-plain", "snoopy", "snoopy", wrap(SNOOPY_PLAIN, tag="snoopy[27316]:")),
     ("sn-username", "snoopy", "snoopy", wrap(SNOOPY_USERNAME, tag="snoopy[28949]:")),
     ("e2e-lmod-load", "lmod", "lmod_load", E2E_LMOD_LOAD),

@@ -325,6 +325,34 @@ def shorewall_json(s: Column) -> Column:
     )
 
 
+def slurm_json(s: Column) -> Column:
+    """Slurm accounting encoder (north-star family, no reference
+    counterpart): dense object in record order; timestamps render as
+    the ISO seconds form the record carries; node_list as a JSON array
+    of expanded hostnames; absent optionals (cancelled_by, unlimited
+    time_limit, work_dir) render as null like the generic encoders."""
+    iso = "yyyy-MM-dd'T'HH:mm:ss"
+    return jobjd(
+        ("jobId", jnum(s["job_id"])),
+        ("user", jstr(s["user"])),
+        ("uid", jnum(s["uid"])),
+        ("group", jstr(s["group"])),
+        ("gid", jnum(s["gid"])),
+        ("name", jstr(s["job_name"])),
+        ("jobState", jstr(s["job_state"])),
+        ("cancelledBy", jnum(s["cancelled_by"])),
+        ("partition", jstr(s["partition"])),
+        ("timeLimitMinutes", jnum(s["time_limit_minutes"])),
+        ("startTime", jstr(F.date_format(s["start_time"], iso))),
+        ("endTime", jstr(F.date_format(s["end_time"], iso))),
+        ("durationSeconds", jnum(s["duration_seconds"])),
+        ("nodeList", jarr(F.transform(s["node_list"], jstr))),
+        ("nodeCnt", jnum(s["node_cnt"])),
+        ("procCnt", jnum(s["proc_cnt"])),
+        ("workDir", jstr(s["work_dir"])),
+    )
+
+
 def payload_json() -> Column:
     """The <jsonkey>: payload member for a normalised row."""
     return (
@@ -332,6 +360,7 @@ def payload_json() -> Column:
         .when(F.col("jsonkey") == "lmod", lmod_json(F.col("lmod")))
         .when(F.col("jsonkey") == "shorewall", shorewall_json(F.col("shorewall")))
         .when(F.col("jsonkey") == "snoopy", snoopy_json(F.col("snoopy")))
+        .when(F.col("jsonkey") == "slurm", slurm_json(F.col("slurm")))
     )
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hnormalise_spark.parsing import lmod, shorewall, snoopy, torque
+from hnormalise_spark.parsing import lmod, shorewall, slurm, snoopy, torque
 from hnormalise_spark.parsing.envelope import RE_ENVELOPE, RE_RFC3339
 from hnormalise_spark.tokenizer import detokenize_col
 
@@ -40,6 +40,10 @@ FAMILIES = [
     ("shorewall", shorewall, "kernel:: Shorewall:", "kernel"),
     ("snoopy", snoopy, "snoopy[", "snoopy"),
     ("torque", torque, "torque: ", "torque"),
+    # north-star addition (no reference counterpart): Slurm accounting
+    # records — appended after the reference's dispatch order, its
+    # prefix mutually exclusive with all of the above.
+    ("slurm", slurm, slurm.PREFIX, "slurmctld"),
 ]
 
 _ALL_INTERMEDIATES = (
@@ -48,6 +52,7 @@ _ALL_INTERMEDIATES = (
     + lmod.INTERMEDIATE_COLS
     + shorewall.INTERMEDIATE_COLS
     + snoopy.INTERMEDIATE_COLS
+    + slurm.INTERMEDIATE_COLS
 )
 
 # A no-op narrow dependency: CoalesceExec does not implement

@@ -250,6 +250,32 @@ LMOD_PAYLOAD = StructType(
 )
 
 # ---------------------------------------------------------------------------
+# Slurm jobcomp/filetxt completion record (parsing/slurm.py — the north
+# star's "Slurm accounting" family; no reference counterpart, format per
+# the public Slurm jobcomp plugin).
+SLURM_PAYLOAD = StructType(
+    [
+        _f("job_id", LongType()),
+        _f("user", StringType()),
+        _f("uid", LongType()),
+        _f("group", StringType()),
+        _f("gid", LongType()),
+        _f("job_name", StringType()),
+        _f("job_state", StringType()),
+        _f("cancelled_by", LongType()),
+        _f("partition", StringType()),
+        _f("time_limit_minutes", LongType()),
+        _f("start_time", TimestampType()),
+        _f("end_time", TimestampType()),
+        _f("duration_seconds", LongType()),
+        _f("node_list", ArrayType(StringType())),
+        _f("node_cnt", LongType()),
+        _f("proc_cnt", LongType()),
+        _f("work_dir", StringType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # Rsyslog envelope subset the logstash-template parser fills
 # (Parser.hs:94-131; the remaining Internal.hs:81-103 fields are empty
 # strings in the reference and carried only in the JSON-input path).
@@ -278,6 +304,7 @@ NORMALISED_SCHEMA = StructType(
         _f("lmod", LMOD_PAYLOAD),
         _f("shorewall", SHOREWALL_PAYLOAD),
         _f("snoopy", SNOOPY_PAYLOAD),
+        _f("slurm", SLURM_PAYLOAD),
     ]
 )
 
