@@ -106,7 +106,7 @@ def main() -> int:
     from hnormalise_spark import datagen
     from hnormalise_spark.pipeline import normalise_tokens
 
-    corpus = f"/tmp/hnorm_bench_corpus_{n_lines}"
+    corpus = f"/tmp/hnorm_bench_corpus_v{datagen.DATAGEN_VERSION}_{n_lines}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         shutil.rmtree(corpus, ignore_errors=True)
         datagen.write_corpus(spark, corpus, n_lines, partitions=int(cpus) * 4 if cpus.isdigit() else None)

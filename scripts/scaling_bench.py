@@ -64,9 +64,11 @@ print("WALL", time.perf_counter() - t0, flush=True)
 
 
 def ensure_corpus() -> str:
-    corpus = f"/tmp/hnorm_bench_corpus_{N_LINES}"
+    from hnormalise_spark import datagen
+
+    corpus = f"/tmp/hnorm_bench_corpus_v{datagen.DATAGEN_VERSION}_{N_LINES}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        from hnormalise_spark import datagen, get_spark
+        from hnormalise_spark import get_spark
 
         spark = get_spark(master="local[32]", app_name="scale-datagen")
         datagen.write_corpus(spark, corpus, N_LINES, partitions=128)
