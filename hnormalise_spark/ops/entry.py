@@ -2251,6 +2251,59 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
 # registry
 
 
+def q_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (textops.winnow_fingerprints,
+    SIGMOD'03): per-doc scalar digest of the fingerprint set so the
+    oracle pins the k-gram polynomial hash, the window-minimum
+    selection, and the distinct-sort bit-for-bit."""
+    from hnormalise_spark.ops.textops import winnow_fingerprints
+
+    df = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
+    out = winnow_fingerprints(df, "text", k=8, w=4)
+    fps = F.col("fingerprints")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(fps).cast("long").alias("n_fp"),
+        F.try_element_at(fps, F.lit(1)).alias("fp_min"),
+        F.try_element_at(fps, F.lit(-1)).alias("fp_max"),
+        F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+    )
+
+
+def _oracle_winnow_fp() -> str:
+    # identical arithmetic: list_reduce's first-element seeding IS the
+    # polynomial fold (c0*B^(k-1) + ... + c7); list slices are 1-based
+    # inclusive like Spark's slice(start, length)
+    return """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 8 THEN
+               list_transform(range(1, length(t) - 8 + 2), i ->
+                 list_reduce(
+                   list_transform(range(0, 8), j -> ascii(substr(t, i + j, 1))::BIGINT),
+                   (acc, x) -> acc * 31 + x) % 1000000007)
+             END AS hs
+      FROM d),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN hs IS NULL THEN []::BIGINT[]
+                  ELSE list_sort(list_distinct(
+                    list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                   i -> list_min(hs[i:i+3]))))
+             END AS fps
+      FROM h)
+    SELECT doc_id,
+           len(fps)::BIGINT AS n_fp,
+           CASE WHEN len(fps) > 0 THEN fps[1] END::BIGINT AS fp_min,
+           CASE WHEN len(fps) > 0 THEN fps[-1] END::BIGINT AS fp_max,
+           COALESCE(list_aggregate(fps, 'sum'), 0)::BIGINT AS fp_sum
+    FROM m
+    """
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type cardinality profile: total events plus EXACT
     distinct users and distinct active days in ONE pass (Spark's
@@ -2322,6 +2375,7 @@ def queries():
         "events_asof": q_events_asof,
         "events_session_stats": q_events_session_stats,
         "distinct_counts": q_distinct_counts,
+        "winnow_fp": q_winnow_fp,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
         "multimodal_features": q_multimodal,
@@ -2376,6 +2430,7 @@ def oracle_sql():
         "events_asof": _oracle_events_asof(),
         "events_session_stats": _oracle_events_session_stats(),
         "distinct_counts": _oracle_distinct_counts(),
+        "winnow_fp": _oracle_winnow_fp(),
         "bm25_topk": _oracle_bm25_topk(),
         "bm25_indexed": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),

@@ -999,3 +999,76 @@ def tfidf_topk(
         .filter(F.col("_rn") <= k)
         .select(F.col("_doc").alias("doc_id"), "term", "tfidf_x1e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling k-gram hash + window minima)
+
+
+WINNOW_BASE = 31
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Per-document winnowing fingerprint set (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): polynomial k-gram hashes over the normalised
+    character stream, one minimum selected per sliding window of ``w``
+    hashes. Any verbatim overlap of length >= w + k - 1 between two
+    documents is guaranteed to share a fingerprint, with an expected
+    density of 2/(w+1) — the localised rolling-hash complement to
+    whole-document md5 (``fingerprint``) and shingle MinHash.
+
+    Adds ``fingerprints`` array<long> (distinct, sorted). All pure JVM
+    expressions (transform/aggregate HOFs) — embarrassingly parallel
+    per document, no shuffle, so the op scales with the scan like the
+    other per-doc text stats. The hash is Σ cp_j·B^(k-1-j) mod
+    1_000_000_007 computed exactly in 64-bit (max Σ < 2^46 for k=8,
+    B=31), so an independent SQL engine reproduces it bit-for-bit.
+
+    Docs shorter than ``k`` after normalisation yield []; docs with
+    fewer than ``w`` k-grams yield the single global minimum.
+    """
+    if k < 2 or w < 1:
+        raise ValueError("need k >= 2 and w >= 1")
+
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    # materialize the codepoint array and the hash array as their own
+    # Project columns: each is referenced many times downstream, and
+    # CollapseProject keeps multiply-referenced non-cheap aliases
+    # un-inlined, so every stage evaluates ONCE per row (a k-gram via
+    # element_at is O(1); substr on a UTF8String would re-scan from the
+    # string head, turning the row into O(n^2))
+    codepoints = F.transform(F.array_remove(F.split(t, "(?!^)"), ""), F.ascii)
+    wc = F.col("_wc")
+    n_grams = F.size(wc) - F.lit(k - 1)
+    gram_hash = lambda i: (  # noqa: E731  1-based position i
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * WINNOW_BASE + F.element_at(wc, (i + j).cast("int")),
+        )
+        % WINNOW_MOD
+    )
+    hashes = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    )
+    wh = F.col("_wh")
+    window_mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(wh) - F.lit(w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(wh, i, w)),
+    )
+    empty = F.array().cast("array<long>")
+    return (
+        df.withColumn("_wc", codepoints)
+        .withColumn("_wh", hashes)
+        .withColumn(
+            "fingerprints",
+            F.when(wh.isNull(), empty).otherwise(
+                F.array_sort(F.array_distinct(window_mins))
+            ),
+        )
+        .drop("_wc", "_wh")
+    )
