@@ -120,3 +120,62 @@ def test_slurm_json_byte_golden(spark):
     )
     got = P.normalise(df).select(jsonout.payload_json().alias("j")).collect()[0]["j"]
     assert got == SLURM_JSON_GOLDEN
+
+
+# ---------------------------------------------------------------------------
+# property-based: expansion matches a pure-Python reference on randomized
+# well-formed hostlists (one Spark job for the whole batch of examples)
+
+
+def _py_expand(expr: str) -> list[str]:
+    import re as _re
+
+    if expr in ("", "(null)"):
+        return []
+    out: list[str] = []
+    for part in _re.split(r",(?![^\[]*\])", expr):
+        m = _re.match(r"^([^\[]*)\[([0-9,-]+)\](.*)$", part)
+        if not m:
+            out.append(part)
+            continue
+        pre, specs, suf = m.groups()
+        for spec in specs.split(","):
+            lo, _, hi = spec.partition("-")
+            hi = hi or lo
+            for n in range(int(lo), int(hi) + 1):
+                out.append(f"{pre}{str(n).zfill(len(lo))}{suf}")
+    return out
+
+
+def test_hostlist_property_random(spark):
+    import random
+
+    rng = random.Random(99)
+    exprs = []
+    for _ in range(150):
+        groups = []
+        for _ in range(rng.randrange(1, 4)):
+            pre = rng.choice(["node", "gpu-", "c7n", "x"])
+            if rng.random() < 0.3:
+                groups.append(pre + str(rng.randrange(100)))
+                continue
+            specs = []
+            for _ in range(rng.randrange(1, 4)):
+                lo = rng.randrange(0, 300)
+                width = rng.choice([0, 0, 2, 3])
+                lo_s = str(lo).zfill(width)
+                if rng.random() < 0.5:
+                    specs.append(lo_s)
+                else:
+                    specs.append(f"{lo_s}-{lo + rng.randrange(0, 5)}")
+            suf = rng.choice(["", "", "-ib"])
+            groups.append(f"{pre}[{','.join(specs)}]{suf}")
+        exprs.append(",".join(groups))
+    exprs += ["", "(null)"]
+    df = spark.createDataFrame([(e,) for e in exprs], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", slurm_hostlist(F.col("s")).alias("h")).collect()
+    }
+    for e in exprs:
+        assert got[e] == _py_expand(e), e
