@@ -416,8 +416,9 @@ def _oracle_envelope() -> str:
 
 
 def _route_parsed(spark: SparkSession, sf: str) -> DataFrame:
-    """Shared mixed corpus (torque/snoopy/lmod/junk with deterministic
-    bad rows) through the full dispatch — input to the counts family."""
+    """Shared mixed corpus (torque/snoopy/lmod/slurm/junk with
+    deterministic bad rows) through the full dispatch — input to the
+    counts family."""
     ev = _spread(
         spark.read.parquet(f"{sf}/events.parquet").select(
             F.col("event_id").cast("long").alias("k")
@@ -428,6 +429,11 @@ def _route_parsed(spark: SparkSession, sf: str) -> DataFrame:
     tq_bad = F.format_string("torque: 06/28/2017 14:31:09;Q;%d;queue=q", k)  # bare job id
     sn = F.format_string("snoopy[%d]::  [uid:1 sid:1 tty:t cwd:/ filename:/bin/x]: x", k)
     lm = F.lit("lmod::  username=u, cluster=c, jobid=, userload=yes, module=a/b, fn=/f")
+    su = F.format_string(
+        "slurmctld: JobId=%d UserId=u(1) GroupId=g(2) Name=n JobState=COMPLETED "
+        "Partition=p TimeLimit=1 StartTime=2024-01-01T00:00:00 "
+        "EndTime=2024-01-01T01:00:00 NodeList=n1 NodeCnt=1 ProcCnt=1", k,
+    )
     junk = F.format_string("random noise %d", k)
     b = k % 10
     msg = (
@@ -435,10 +441,15 @@ def _route_parsed(spark: SparkSession, sf: str) -> DataFrame:
         .when(b == 4, tq_bad)
         .when(b < 7, sn)
         .when(b == 7, lm)
+        .when(b == 8, su)
         .otherwise(junk)
     )
     source = (
-        F.when(b < 5, "torque").when(b < 7, "snoopy").when(b == 7, "lmod").otherwise("junk")
+        F.when(b < 5, "torque")
+        .when(b < 7, "snoopy")
+        .when(b == 7, "lmod")
+        .when(b == 8, "slurm")
+        .otherwise("junk")
     )
     df = ev.select(
         F.format_string("rc-%d", k).alias("doc_id"),
@@ -487,13 +498,15 @@ def _oracle_route_counts() -> str:
       SELECT CASE WHEN event_id % 10 < 5 THEN 'torque'
                   WHEN event_id % 10 < 7 THEN 'snoopy'
                   WHEN event_id % 10 = 7 THEN 'lmod'
+                  WHEN event_id % 10 = 8 THEN 'slurm'
                   ELSE 'junk' END AS source,
              CASE WHEN event_id % 10 < 4 THEN 'torque_queue'
                   WHEN event_id % 10 = 4 THEN NULL
                   WHEN event_id % 10 < 7 THEN 'snoopy'
                   WHEN event_id % 10 = 7 THEN 'lmod_load'
+                  WHEN event_id % 10 = 8 THEN 'slurm_accounting'
                   ELSE NULL END AS parser,
-             CASE WHEN event_id % 10 = 4 OR event_id % 10 > 7 THEN 0 ELSE 1 END AS parse_ok
+             CASE WHEN event_id % 10 = 4 OR event_id % 10 > 8 THEN 0 ELSE 1 END AS parse_ok
       FROM events)
     SELECT source, parser, parse_ok, COUNT(*)::BIGINT AS n
     FROM c GROUP BY source, parser, parse_ok
