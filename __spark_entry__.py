@@ -888,9 +888,7 @@ def q_parse_slurm(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("c"),
     )
     k, c = F.col("k"), F.col("c")
-    parsed = _norm(
-        orders.withColumn("c", c), _env(_slurm_line(k, c), k), F.format_string("su-%d", k)
-    )
+    parsed = _norm(orders, _env(_slurm_line(k, c), k), F.format_string("su-%d", k))
     s = F.col("slurm")
     return parsed.select(
         "doc_id",
@@ -955,9 +953,7 @@ def q_slurm_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_custkey").cast("long").alias("c"),
     )
     k, c = F.col("k"), F.col("c")
-    parsed = _norm(
-        orders.withColumn("c", c), _env(_slurm_line(k, c), k), F.format_string("su-%d", k)
-    )
+    parsed = _norm(orders, _env(_slurm_line(k, c), k), F.format_string("su-%d", k))
     s = F.col("slurm")
     return (
         parsed.groupBy(

@@ -51,23 +51,42 @@ JOB_STATES = [
 ]
 
 RE_ISO_TS = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}$"
-RE_USER_GROUP = r"^([^()\s]+)\((\d+)\)$"  # name(uid)
-# hostlist: plain names / bracket groups / (null); commas both between
-# groups and inside brackets
-RE_HOSTLIST = r"^(?:\(null\)|[A-Za-z0-9_.-]*(?:\[[0-9,-]+\])?[A-Za-z0-9_.-]*(?:,[A-Za-z0-9_.-]*(?:\[[0-9,-]+\])?[A-Za-z0-9_.-]*)*)$"
+# name(uid); uid capped at 18 digits so the long cast can never abort
+RE_USER_GROUP = r"^([^()\s]+)\((\d{1,18})\)$"
+# hostlist grammar, STRICT: a group is either a plain name or
+# name[spec,spec,...]name with every spec a 1-8 digit number or
+# lo-hi range (8 digits keeps every bound far inside int range, so a
+# gate-passing line can never abort an ANSI cast — one malformed log
+# line must fail its OWN row, never the batch).
+_RE_SPEC = r"\d{1,8}(?:-\d{1,8})?"
+_RE_NAME = r"[A-Za-z0-9_.-]"
+_RE_GROUP = (
+    rf"(?:{_RE_NAME}*\[{_RE_SPEC}(?:,{_RE_SPEC})*\]{_RE_NAME}*|{_RE_NAME}+)"
+)
+RE_HOSTLIST = rf"^(?:\(null\)|{_RE_GROUP}(?:,{_RE_GROUP})*)$"
 # split top-level commas only: a comma INSIDE brackets sees a ']'
 # before any '[' ahead of it
 RE_TOP_COMMA = r",(?![^\[]*\])"
 
+# Widest single range a record may expand (Slurm clusters top out at
+# ~10^4 nodes; 2^16 leaves 6× headroom). A wider range fails the row —
+# without this, one line saying node[1-9999999] materializes a
+# multi-million-element array per row and can OOM an executor.
+MAX_RANGE_WIDTH = 65536
+
 
 def slurm_hostlist(s: Column) -> Column:
-    """Compressed Slurm hostlist → array<string> of full hostnames.
+    """Compressed Slurm hostlist → array<string> of full hostnames,
+    null on malformed input (callers fail the row).
 
     ``node[001-004,007]`` → [node001..node004, node007];
     ``a,b[1-2]c`` → [a, b1c, b2c]; ``(null)``/'' → []. Numbers pad to
-    the width of each range's LOW bound (Slurm semantics). All-HOF
-    expansion — interpreted eval, so the per-element work is one split
-    + one sequence; no regex inside the lambdas."""
+    the width of each range's LOW bound (Slurm semantics); a
+    descending range (``[5-3]``) contributes nothing, like the torque
+    core-range expansion's empty [lo..hi]. All-HOF expansion —
+    interpreted eval, so the per-element work is one split + one
+    sequence; no regex inside the lambdas (shape and bounds are
+    enforced once by RE_HOSTLIST + the width gate)."""
 
     def pad_to(num: Column, width: Column) -> Column:
         txt = num.cast("string")
@@ -75,37 +94,53 @@ def slurm_hostlist(s: Column) -> Column:
             F.repeat(F.lit("0"), F.greatest(width - F.length(txt), F.lit(0))), txt
         )
 
+    def bounds(p: Column):  # "lo" | "lo-hi" (gate-checked digits)
+        d = F.split(p, "-")
+        return F.element_at(d, 1), F.element_at(d, -1).try_cast("int")
+
     def expand_specs(specs: Column) -> Column:
         def piece(p: Column) -> Column:
-            d = F.split(p, "-")
-            lo_s = F.element_at(d, 1)
-            hi = F.element_at(d, -1).cast("int")
+            lo_s, hi = bounds(p)
             return C.let(
                 lo_s,
-                lambda lo: F.transform(
-                    F.sequence(lo.cast("int"), hi),
-                    lambda n: pad_to(n, F.length(lo)),
-                ),
+                lambda lo: F.when(
+                    lo.try_cast("int") <= hi,
+                    F.transform(
+                        F.sequence(lo.try_cast("int"), hi),
+                        lambda n: pad_to(n, F.length(lo)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
             )
 
         return F.flatten(F.transform(F.split(specs, ","), piece))
+
+    def inner_of(e: Column) -> Column:
+        return F.substring_index(F.substring_index(e, "[", -1), "]", 1)
 
     def elem(e: Column) -> Column:
         # prefix[specs]suffix | plain-name
         has_br = e.contains("[")
         pre = F.substring_index(e, "[", 1)
-        inner = F.substring_index(F.substring_index(e, "[", -1), "]", 1)
         suf = F.substring_index(e, "]", -1)
         expanded = F.transform(
-            expand_specs(inner), lambda n: F.concat(pre, n, suf)
+            expand_specs(inner_of(e)), lambda n: F.concat(pre, n, suf)
         )
         return F.when(has_br, expanded).otherwise(F.array(e))
 
+    def spec_narrow(p: Column) -> Column:
+        lo_s, hi = bounds(p)
+        return F.coalesce(hi - lo_s.try_cast("int"), F.lit(0)) < MAX_RANGE_WIDTH
+
+    groups = F.split(s, RE_TOP_COMMA)
+    widths_ok = F.forall(
+        groups,
+        lambda e: ~e.contains("[") | F.forall(F.split(inner_of(e), ","), spec_narrow),
+    )
     empty = F.array().cast("array<string>")
-    joined = F.flatten(F.transform(F.split(s, RE_TOP_COMMA), elem))
+    joined = F.flatten(F.transform(groups, elem))
     return (
         F.when((s == "") | (s == "(null)"), empty)
-        .when(s.rlike(RE_HOSTLIST), joined)
+        .when(s.rlike(RE_HOSTLIST) & widths_ok, joined)
     )
 
 
@@ -136,7 +171,9 @@ def layers(gate: Column, msg: Column) -> list[dict[str, Column]]:
         ),
     }
 
-    unsigned_ok = lambda key: F.coalesce(v(key).rlike(r"^\d+$"), F.lit(False))  # noqa: E731
+    # 18-digit cap: a digits-only value that would overflow the long
+    # cast (ANSI abort) fails the row instead
+    unsigned_ok = lambda key: F.coalesce(v(key).rlike(r"^\d{1,18}$"), F.lit(False))  # noqa: E731
     state_ok = F.coalesce(v("JobState").isin(JOB_STATES), F.lit(False))
     tl_ok = F.coalesce(v("TimeLimit").rlike(r"^(\d+|UNLIMITED)$"), F.lit(False))
     cancel_ok = (
@@ -174,12 +211,15 @@ def result() -> tuple[Column, Column, Column]:
         return F.element_at(F.col(col), i)
 
     start, end = F.col("_su_start"), F.col("_su_end")
+    # try_cast throughout (module convention): every value is
+    # range-gated by _su_ok's regexes, but a cast abort would kill the
+    # whole batch, so the casts stay abort-free as defense-in-depth
     payload = F.struct(
-        v("JobId").cast("long").alias("job_id"),
+        v("JobId").try_cast("long").alias("job_id"),
         ga("_su_user_a", 1).alias("user"),
-        ga("_su_user_a", 2).cast("long").alias("uid"),
+        ga("_su_user_a", 2).try_cast("long").alias("uid"),
         ga("_su_group_a", 1).alias("group"),
-        ga("_su_group_a", 2).cast("long").alias("gid"),
+        ga("_su_group_a", 2).try_cast("long").alias("gid"),
         v("Name").alias("job_name"),
         v("JobState").alias("job_state"),
         v("CancelledBy").try_cast("long").alias("cancelled_by"),
@@ -191,8 +231,8 @@ def result() -> tuple[Column, Column, Column]:
         end.alias("end_time"),
         (F.unix_timestamp(end) - F.unix_timestamp(start)).alias("duration_seconds"),
         F.col("_su_nodes").alias("node_list"),
-        v("NodeCnt").cast("long").alias("node_cnt"),
-        v("ProcCnt").cast("long").alias("proc_cnt"),
+        v("NodeCnt").try_cast("long").alias("node_cnt"),
+        v("ProcCnt").try_cast("long").alias("proc_cnt"),
         v("WorkDir").alias("work_dir"),
     )
     payload = F.when(ok, payload).otherwise(F.lit(None).cast(SLURM_PAYLOAD))

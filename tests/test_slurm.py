@@ -179,3 +179,58 @@ def test_hostlist_property_random(spark):
     }
     for e in exprs:
         assert got[e] == _py_expand(e), e
+
+
+# ---------------------------------------------------------------------------
+# hardening regressions (code-review round): a malformed-but-plausible
+# line must fail its OWN row — never abort the batch via an ANSI cast
+# or a runaway expansion
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "node[-5]",          # empty low bound
+        "node[5-]",          # empty high bound
+        "node[,5]",          # empty spec
+        "node[99999999999]", # > int range (would abort cast('int'))
+        "node[1-9999999]",   # > MAX_RANGE_WIDTH (would OOM)
+    ],
+)
+def test_hostlist_malformed_yields_null_not_crash(spark, expr):
+    got = (
+        spark.createDataFrame([(expr,)], "s string")
+        .select(slurm_hostlist(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got is None, expr
+
+
+def test_hostlist_descending_range_contributes_nothing(spark):
+    got = (
+        spark.createDataFrame([("a[5-3],b2",)], "s string")
+        .select(slurm_hostlist(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got == ["b2"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # each passes the naive shape checks but would abort an ANSI
+        # cast or blow memory if not range-gated; all must fail the row
+        FX.SLURM_COMPLETED.replace("JobId=20746", "JobId=" + "9" * 20),
+        FX.SLURM_COMPLETED.replace("(1000)", "(" + "9" * 20 + ")"),
+        FX.SLURM_COMPLETED.replace("NodeCnt=4", "NodeCnt=" + "9" * 20),
+        FX.SLURM_COMPLETED.replace(
+            "NodeList=node[2801-2803,2810]", "NodeList=node[-5]"
+        ),
+        FX.SLURM_COMPLETED.replace(
+            "NodeList=node[2801-2803,2810]", "NodeList=node[1-9999999]"
+        ),
+    ],
+)
+def test_hostile_numerics_fail_row_not_batch(spark, bad):
+    r = _parse_one(spark, bad)
+    assert not r["parse_ok"] and r["slurm"] is None

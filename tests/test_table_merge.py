@@ -119,8 +119,6 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang", "snapshot_id"}
     langs = {r["doc_id"]: r["lang"] for r in merged.collect()}
     assert langs == {1: None, 2: None, 3: "en"}
-    # read_latest over the evolved union keeps working (new key wins)
-    merged.createOrReplaceTempView("_evo")  # no-op sanity: frame is usable
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
