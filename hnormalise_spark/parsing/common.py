@@ -17,24 +17,33 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # regexes (Java flavour)
+#
+# Digit runs are WIDTH-BOUNDED everywhere a match later feeds an ANSI
+# cast or arithmetic: the reference parses into unbounded Integer, but
+# our schemas are int64, and under ANSI mode an overflowing cast (or
+# multiply) aborts the ENTIRE batch. Bounding the gate regex instead
+# makes an unrepresentable value fail its OWN row into the failure
+# sink — the documented deviation (SURVEY §7): 18 digits where only a
+# cast follows (< 2^63), 9 where the value enters multiplication
+# (walltime/ppn), 4 for core indices (which drive sequence expansion).
 
 # [[[DD:]HH:]MM:]SS — parseTorqueWalltime (Torque/Parser.hs:62-89).
-RE_WALLTIME = r"^\d+(:\d+){0,3}$"
+RE_WALLTIME = r"^\d{1,9}(:\d{1,9}){0,3}$"
 
 # <decimal><b|kb|mb|gb> case-insensitive — parseTorqueMemory (:94-105).
-RE_MEMORY = r"(?i)^(\d+)(b|kb|mb|gb)$"
+RE_MEMORY = r"(?i)^(\d{1,18})(b|kb|mb|gb)$"
 
 # NUM[[ARR]|-ARR].master.cluster(.rest)? — parseTorqueJobName (:109-127).
 # master/cluster are take-till-dot; the trailing rest is ignored.
-RE_JOB_NAME = r"^(\d+)(?:\[(\d*)\]|-(\d+))?\.([^.]*)\.([^.]*)"
+RE_JOB_NAME = r"^(\d{1,18})(?:\[(\d{0,18})\]|-(\d{1,18}))?\.([^.]*)\.([^.]*)"
 
-RE_UNSIGNED = r"^\d+$"
-RE_SIGNED = r"^-?\d+$"
+RE_UNSIGNED = r"^\d{1,18}$"
+RE_SIGNED = r"^-?\d{1,18}$"
 
 # One element of a Resource_List node list (parseTorqueResourceNodeList,
 # :133-143): digit-leading ⇒ short node (count), else FQDN. ppn suffix
 # optional in both.
-RE_NODE_ELEM = r"^(?:\d+(?::ppn=\d+)?|[^0-9:][^:]*(?::ppn=\d+)?)$"
+RE_NODE_ELEM = r"^(?:\d{1,9}(?::ppn=\d{1,9})?|[^0-9:][^:]*(?::ppn=\d{1,9})?)$"
 
 # Whole '+'-separated node list as ONE anchored regex (possessive
 # quantifiers — no backtracking, stays in whole-stage codegen; the
@@ -42,17 +51,19 @@ RE_NODE_ELEM = r"^(?:\d+(?::ppn=\d+)?|[^0-9:][^:]*(?::ppn=\d+)?)$"
 # \s excluded so the same body can embed inside the torque fast-path
 # mega-regex without eating the following ' Resource_List.*' tokens
 # (isolated KV values never contain spaces — str_to_map splits on ' ').
-_NODE_ELEM_P = r"(?:\d++(?::ppn=\d++)?+|[^0-9:+\s][^:+\s]*+(?::ppn=\d++)?+)"
+_NODE_ELEM_P = r"(?:\d{1,9}+(?::ppn=\d{1,9}+)?+|[^0-9:+\s][^:+\s]*+(?::ppn=\d{1,9}+)?+)"
 NODE_LIST_P = rf"{_NODE_ELEM_P}(?:\+{_NODE_ELEM_P})*+"
 RE_NODE_LIST = rf"^{NODE_LIST_P}$"
 
 # One element of an exec_host list (parseTorqueHostList, :291-311):
 # fqdn/corespec where corespec is a comma list of ints and lo-hi ranges.
-RE_HOST_ELEM = r"^[^/]*/\d+(-\d+)?(,\d+(-\d+)?)*$"
+RE_HOST_ELEM = r"^[^/]*/\d{1,4}(-\d{1,4})?(,\d{1,4}(-\d{1,4})?)*$"
 
 # Whole exec_host value as one anchored possessive regex (\s excluded
-# for mega-regex embedding, see NODE_LIST_P).
-_HOST_ELEM_P = r"[^/+\s]*+/\d++(?:-\d++)?+(?:,\d++(?:-\d++)?+)*+"
+# for mega-regex embedding, see NODE_LIST_P). Core indices are capped
+# at 4 digits: they drive F.sequence expansion, so the cap also bounds
+# the widest possible per-range blowup at 10^4 elements.
+_HOST_ELEM_P = r"[^/+\s]*+/\d{1,4}+(?:-\d{1,4}+)?+(?:,\d{1,4}+(?:-\d{1,4}+)?+)*+"
 HOST_LIST_P = rf"{_HOST_ELEM_P}(?:\+{_HOST_ELEM_P})*+"
 RE_HOST_LIST = rf"^{HOST_LIST_P}$"
 
@@ -214,8 +225,11 @@ def memory_bytes(s: Column) -> Column:
         .when(l.endswith("gb"), F.lit(1024 * 1024 * 1024))
         .otherwise(F.lit(1))
     ).cast("long")
-    value = s.substr(F.lit(1), F.length(s) - unit_len).cast("long")
-    return F.when(memory_valid(s), value * mult)
+    value = s.substr(F.lit(1), F.length(s) - unit_len).try_cast("long")
+    # try_multiply: an 18-digit byte count is representable, but the
+    # same digits with a gb unit would overflow the multiply and (ANSI)
+    # abort the batch — null the field instead
+    return F.when(memory_valid(s), F.try_multiply(value, mult))
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +262,10 @@ def job_name_valid(s: Column) -> Column:
 
 
 # full-string form of RE_JOB_NAME for single-pass packed extraction
-_RE_JOB_NAME_FULL = r"(?s)^(\d+)(?:\[(\d*)\]|-(\d+))?\.([^.]*)\.([^.]*).*$"
+# (digit bounds MUST mirror RE_JOB_NAME — the groups feed long casts)
+_RE_JOB_NAME_FULL = (
+    r"(?s)^(\d{1,18})(?:\[(\d{0,18})\]|-(\d{1,18}))?\.([^.]*)\.([^.]*).*$"
+)
 
 
 def job_name_struct(s: Column) -> Column:

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-RE_ENVELOPE = r"^(?:<(\d+)>(\d+)?)?\s*(\S+)\s+(\S+)\s+(\S+)\s+-\s*((?s:.*))$"
+# pri/version digit runs bounded: both feed int casts, and under ANSI
+# an overflowing cast aborts the batch — a 10+-digit "pri" fails the
+# envelope (failure sink) instead
+RE_ENVELOPE = r"^(?:<(\d{1,9})>(\d{1,9})?)?\s*(\S+)\s+(\S+)\s+(\S+)\s+-\s*((?s:.*))$"
 
 # attoparsec-time zonedTime: date, 'T'/space, time, optional seconds
 # fraction, optional zone. A bare cast-to-timestamp is too lenient

@@ -153,9 +153,12 @@ class CompiledGrok:
             raw = F.regexp_extract(line, self.regex, f.group)
             col = F.when(ok, raw)
             if f.type != "string":
-                # cast('') → null, so an optional group that did not
-                # participate becomes null rather than a parse error
-                col = col.cast(f.type)
+                # try_cast, NOT cast: under ANSI an optional typed
+                # group that did not participate yields '' and a plain
+                # cast('') — or a matched number wider than the target
+                # type — aborts the ENTIRE batch instead of nulling the
+                # one field
+                col = col.try_cast(f.type)
             out[f.name] = col
         out["_grok_ok"] = ok
         return out

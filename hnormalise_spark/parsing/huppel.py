@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-RE_HUPPEL = r"^huppel\s+(\d+)"
+RE_HUPPEL = r"^huppel\s+(\d{1,18})"
 
 
 def parse(msg: Column) -> Column:

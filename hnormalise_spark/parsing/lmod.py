@@ -75,7 +75,9 @@ def result() -> tuple[Column, Column, Column]:
     raw = F.col("_lm_jobid_raw")
 
     is_torque = C.job_name_valid(raw)
-    is_slurm = raw.rlike(r"^\d+$")
+    # 18-digit cap: wider ids would overflow the ANSI long cast and
+    # abort the batch; the row fails (jobid_valid false) instead
+    is_slurm = raw.rlike(r"^\d{1,18}$")
     jobid = F.when(
         is_torque,
         F.struct(

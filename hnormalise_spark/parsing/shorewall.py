@@ -26,8 +26,10 @@ from hnormalise_spark.parsing import common as C
 from hnormalise_spark.schemas import SHOREWALL_PAYLOAD
 
 _HEAD = r"^kernel:: Shorewall:([^:]*):([^:]*):IN=(\S*)"
-RE_TCP = _HEAD + r"\s*OUT=\s*([^=]*)=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?) PROTO=TCP\s+SPT=(\d+)\s+DPT=(\d+)"
-RE_UDP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?)PROTO=UDP\s+SPT=(\d+)\s+DPT=(\d+)"
+# ports bounded at 9 digits: the values feed long casts and an ANSI
+# overflow would abort the batch; a wider "port" fails the row instead
+RE_TCP = _HEAD + r"\s*OUT=\s*([^=]*)=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?) PROTO=TCP\s+SPT=(\d{1,9})\s+DPT=(\d{1,9})"
+RE_UDP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?)PROTO=UDP\s+SPT=(\d{1,9})\s+DPT=(\d{1,9})"
 RE_ICMP = _HEAD + r"\s*OUT=(\S*)\s+SRC=(\S+)\s+DST=(\S+)(?s:.*?) PROTO=ICMP"
 
 

@@ -19,10 +19,12 @@ from pyspark.sql import functions as F
 from hnormalise_spark.parsing import common as C
 from hnormalise_spark.schemas import SNOOPY_PAYLOAD
 
+# pid/uid/sid bounded at 9 digits (int casts; ANSI overflow aborts the
+# batch, a bounded regex fails the row instead)
 RE_SNOOPY = (
-    r"^snoopy\[(\d+)\][^\[]*\[uid:(\d+)"
+    r"^snoopy\[(\d{1,9})\][^\[]*\[uid:(\d{1,9})"
     r"(?:\s*username:(\S*))?"
-    r"\s*sid:(\d+)\s*tty:(\S*)\s*cwd:(\S*)\s*filename:([^\]]*)\]:\s*((?s:.*))$"
+    r"\s*sid:(\d{1,9})\s*tty:(\S*)\s*cwd:(\S*)\s*filename:([^\]]*)\]:\s*((?s:.*))$"
 )
 
 

@@ -93,10 +93,13 @@ _MANDATORY_TEXT = ["user", "group", "jobname", "queue", "owner"]
 # ---------------------------------------------------------------------------
 # fast-path mega-regex (canonical order, typed values)
 
-_P_NUM = r"\d++"
-_P_SIGNED = r"-?+\d++"
-_P_WT = r"\d++(?::\d++){0,3}+"          # parseTorqueWalltime shapes
-_P_MEM = r"\d++(?i:b|kb|mb|gb)"         # parseTorqueMemory
+# width bounds mirror common.py's gate regexes exactly, so a value the
+# KV fallback would reject can never match the fast path either (the
+# two paths must accept the same language; see common.py's ANSI note)
+_P_NUM = r"\d{1,18}+"
+_P_SIGNED = r"-?+\d{1,18}+"
+_P_WT = r"\d{1,9}+(?::\d{1,9}+){0,3}+"  # parseTorqueWalltime shapes
+_P_MEM = r"\d{1,18}+(?i:b|kb|mb|gb)"    # parseTorqueMemory
 
 
 class _MegaRe:

@@ -161,3 +161,27 @@ def test_columns_dict_shape():
     assert c.regex.startswith("^") and c.regex.endswith("$")
     unanchored = compile_grok("%{INT:n:int}", anchored=False)
     assert not unanchored.regex.startswith("^")
+
+
+def test_typed_field_hostile_values_null_not_crash(spark):
+    """An optional typed group that did not participate ('' from the
+    COMMONAPACHELOG `bytes|-` alternation) and a matched number wider
+    than BIGINT must null the one field — under ANSI a plain cast here
+    aborted the whole batch."""
+    rows = [
+        ("dash", '1.2.3.4 - u [10/Oct/2000:13:55:36 +0200] "GET /x HTTP/1.1" 200 -'),
+        ("wide", '1.2.3.4 - u [10/Oct/2000:13:55:36 +0200] "GET /x HTTP/1.1" 200 '
+                 + "9" * 25),
+        ("good", '1.2.3.4 - u [10/Oct/2000:13:55:36 +0200] "GET /x HTTP/1.1" 200 512'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, raw string")
+    got = {
+        r["doc_id"]: r
+        for r in grok_extract(df, "raw", "%{COMMONAPACHELOG}")
+        .select("doc_id", "response", "bytes", "grok_ok")
+        .collect()
+    }
+    assert got["dash"]["grok_ok"] and got["dash"]["bytes"] is None
+    assert got["dash"]["response"] == 200
+    assert got["wide"]["grok_ok"] and got["wide"]["bytes"] is None
+    assert got["good"]["bytes"] == 512
