@@ -990,6 +990,57 @@ def _oracle_slurm_partition_stats() -> str:
     """
 
 
+def q_slurm_cluster_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed flagship #3 — the north rule's full chain in ONE
+    oracled query: Slurm accounting parse → broadcast host→cluster→site
+    enrichment (BroadcastHashJoin, fact side never shuffles) → per-site
+    utilisation rollup (jobs, node-seconds, completion fraction,
+    distinct users). The only shuffle in the whole plan is the final
+    ~2-group aggregate."""
+    from hnormalise_spark.enrich import enrich, synth_lookup_tables
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_custkey").cast("long").alias("c"),
+    )
+    k, c = F.col("k"), F.col("c")
+    parsed = _norm(orders, _env(_slurm_line(k, c), k), F.format_string("su-%d", k))
+    hm, cm, um = synth_lookup_tables(spark)
+    out = enrich(parsed, hm, cm)
+    s = F.col("slurm")
+    return (
+        out.groupBy(F.col("cluster_site").alias("site"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_jobs"),
+            F.sum(s["duration_seconds"] * s["node_cnt"]).cast("long").alias("node_seconds"),
+            F.sum((s["job_state"] == "COMPLETED").cast("long")).cast("long").alias("n_completed"),
+            F.count_distinct(s["uid"]).cast("long").alias("n_users"),
+        )
+    )
+
+
+def _oracle_slurm_cluster_report() -> str:
+    # envelope host is node(k%500).c((k%500)%7); cluster c<id> maps to
+    # site-a for even id (enrich.synth_lookup_tables)
+    return """
+    WITH s AS (
+      SELECT CASE WHEN ((o_orderkey % 500) % 7) % 2 = 0
+                  THEN 'site-a' ELSE 'site-b' END AS site,
+             (o_orderkey % 13 + 1) * 3600 AS duration_seconds,
+             CASE o_orderkey % 4 WHEN 0 THEN o_orderkey % 5 + 1 WHEN 1 THEN 1
+                  WHEN 2 THEN o_orderkey % 3 + 2 ELSE 0 END AS node_cnt,
+             CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS completed,
+             o_custkey % 10000 AS uid
+      FROM orders)
+    SELECT site,
+           COUNT(*)::BIGINT AS n_jobs,
+           SUM(duration_seconds * node_cnt)::BIGINT AS node_seconds,
+           SUM(completed)::BIGINT AS n_completed,
+           COUNT(DISTINCT uid)::BIGINT AS n_users
+    FROM s GROUP BY site
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mixed-corpus parse → route → per-(source,parser,ok)
     counts on sf0.001 (the reference's end-to-end dataflow)."""
@@ -1118,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_shorewall": q_parse_shorewall,
         "parse_slurm": q_parse_slurm,
         "slurm_partition_stats": q_slurm_partition_stats,
+        "slurm_cluster_report": q_slurm_cluster_report,
         "envelope": q_envelope,
         "route_counts": q_route_counts,
         "route_counts_rollup": q_route_counts_rollup,
@@ -1145,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "parse_shorewall": _oracle_shorewall(),
         "parse_slurm": _oracle_slurm(),
         "slurm_partition_stats": _oracle_slurm_partition_stats(),
+        "slurm_cluster_report": _oracle_slurm_cluster_report(),
         "envelope": _oracle_envelope(),
         "route_counts": _oracle_route_counts(),
         "route_counts_rollup": _oracle_route_counts_rollup(),

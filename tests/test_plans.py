@@ -67,3 +67,15 @@ def test_ivf_probe_prunes_list_partitions(spark, tmp_path):
     head = plan.split("PartitionFilters:")[1][:120]
     assert "list_id" in head
     assert probe.count() == 3
+
+
+def test_slurm_cluster_report_plan_broadcasts(spark):
+    """Composed flagship #3: both enrichment joins are broadcast — the
+    parsed fact side reaches the final aggregate without a join
+    shuffle (the only Exchange feeds the ~2-group hash aggregate)."""
+    import __spark_entry__ as entry
+
+    df = entry.q_slurm_cluster_report(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
