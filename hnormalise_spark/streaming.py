@@ -33,6 +33,54 @@ def read_token_stream(spark: SparkSession, in_dir: str, max_files: int = 16) -> 
     )
 
 
+def read_raw_text(spark: SparkSession, path: str, source: str = "file") -> DataFrame:
+    """Raw syslog text file(s) → the pipeline's input shape — the
+    reference's native file input (Main.hs file source): one log line
+    per row, no tokenization step.
+
+    ``doc_id`` is input_file_name + a partition-local counter
+    (monotonically_increasing_id): unique and stable for a fixed file
+    layout, but NOT replay-stable across different splits — raw text
+    carries no record coordinates (unlike Kafka's topic/partition/
+    offset or the parquet doc_id column). Downstream routing/counts
+    never key on doc_id, so this only affects lineage labels."""
+    return spark.read.text(path).select(
+        F.concat_ws(
+            "-",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.monotonically_increasing_id().cast("string"),
+        ).alias("doc_id"),
+        F.lit(source).alias("source"),
+        F.col("value").alias("raw"),
+    )
+
+
+def read_raw_text_stream(
+    spark: SparkSession, in_dir: str, source: str = "file", max_files: int = 16
+) -> DataFrame:
+    """Streaming variant of read_raw_text: tail a directory of raw
+    syslog files (the rsyslog omfile → collector handoff). Same output
+    shape, so the identical normalise() transform runs on it.
+
+    monotonically_increasing_id is not allowed on streams, so the
+    lineage id is file + content hash: byte-identical duplicate lines
+    in one file share an id (routing/counts never key on doc_id; feed
+    a deduplicating op from a coordinate-bearing source instead)."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files)
+        .text(in_dir)
+    )
+    return lines.select(
+        F.concat_ws(
+            "-",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+            F.hex(F.xxhash64(F.col("value"))),
+        ).alias("doc_id"),
+        F.lit(source).alias("source"),
+        F.col("value").alias("raw"),
+    )
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,

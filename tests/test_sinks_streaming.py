@@ -130,3 +130,64 @@ def test_enrichment_broadcast(spark, corpus_dir):
         F.col("uid_username").isNotNull()
     )
     assert sn.count() > 0
+
+
+def test_read_raw_text_batch_roundtrip(spark, tmp_path):
+    """Raw syslog text files (the reference's native input) enter the
+    SAME normalise() transform: every fixture line routes exactly as it
+    does from the tokenized parquet path."""
+    from hnormalise_spark.fixtures import CORPUS
+    from hnormalise_spark.streaming import read_raw_text
+    from hnormalise_spark import pipeline as P
+    from pyspark.sql import functions as F
+
+    log = tmp_path / "syslog.log"
+    lines = [l for (_, _, _, l) in CORPUS if l and "\n" not in l]
+    log.write_text("\n".join(lines) + "\n")
+    df = read_raw_text(spark, str(log))
+    assert df.columns[:3] == ["doc_id", "source", "raw"]
+    parsed = P.normalise(df)
+    got = {
+        (r["parser"], r["parse_ok"]): r["n"]
+        for r in P.counts(parsed, keys=("parser", "parse_ok")).collect()
+    }
+    want_ok = {}
+    for (_, _, parser, l) in CORPUS:
+        if l and "\n" not in l and parser:
+            want_ok[parser] = want_ok.get(parser, 0) + 1
+    for parser, n in want_ok.items():
+        assert got.get((parser, True)) == n, parser
+    assert sum(n for (p, ok), n in got.items() if not ok) == sum(
+        1 for (_, _, p, l) in CORPUS if l and "\n" not in l and p is None
+    )
+    # doc_ids are unique and carry the file name
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    assert len(set(ids)) == len(lines) and all(i.startswith("syslog.log-") for i in ids)
+
+
+def test_read_raw_text_stream_routes(spark, tmp_path):
+    """The streaming text source feeds the identical transform; one
+    micro-batch routes success/failure exactly like batch."""
+    from hnormalise_spark.fixtures import CORPUS
+    from hnormalise_spark.streaming import read_raw_text_stream
+    from hnormalise_spark import pipeline as P
+    from pyspark.sql import functions as F
+
+    in_dir = tmp_path / "logs"
+    in_dir.mkdir()
+    lines = [l for (_, _, _, l) in CORPUS if l and "\n" not in l]
+    (in_dir / "a.log").write_text("\n".join(lines) + "\n")
+    parsed = P.normalise(read_raw_text_stream(spark, str(in_dir)))
+    out = parsed.groupBy("parse_ok").count()
+    q = (
+        out.writeStream.format("memory")
+        .queryName("raw_text_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["parse_ok"]: r["count"] for r in spark.sql("select * from raw_text_counts").collect()}
+    n_fail = sum(1 for (_, _, p, l) in CORPUS if l and "\n" not in l and p is None)
+    assert got[False] == n_fail
+    assert got[True] == len(lines) - n_fail
