@@ -23,6 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--config", help="user config file (YAML/JSON, monoid-merged over --system-config then defaults)")
     ap.add_argument("--system-config", help="system config file")
     ap.add_argument("--input", help="input parquet dir (doc_id,tokens,n_tok,source)")
+    ap.add_argument(
+        "--input-format",
+        choices=["parquet", "text"],
+        default="parquet",
+        help="parquet = tokenized sequences (default); text = raw syslog "
+        "files, one line per row (the reference's native input)",
+    )
     ap.add_argument("--output", help="output dir for sinks")
     ap.add_argument("--streaming", action=argparse.BooleanOptionalAction, default=None)
     ap.add_argument("--generate", type=int, default=0, help="generate N synthetic rows to --output")
@@ -68,10 +75,17 @@ def main(argv: list[str] | None = None) -> int:
         print(f"streaming drained in {time.time()-t0:.1f}s")
         return 0
 
-    df = spark.read.parquet(args.input)
+    from hnormalise_spark.pipeline import normalise
+
+    if args.input_format == "text":
+        df = streaming.read_raw_text(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
     if args.repartition:
         df = salted_repartition(df, args.repartition, keys=("source",), salt=args.salt)
-    parsed = sinks.with_lineage(normalise_tokens(df))
+    parsed = sinks.with_lineage(
+        normalise(df) if args.input_format == "text" else normalise_tokens(df)
+    )
     if args.enrich:
         hm, cm, um = enrich.synth_lookup_tables(spark)
         parsed = enrich.enrich(parsed, hm, cm, um)
