@@ -2270,11 +2270,11 @@ def q_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _oracle_winnow_fp() -> str:
-    # identical arithmetic: list_reduce's first-element seeding IS the
-    # polynomial fold (c0*B^(k-1) + ... + c7); list slices are 1-based
-    # inclusive like Spark's slice(start, length)
-    return """
+# identical arithmetic: list_reduce's first-element seeding IS the
+# polynomial fold (c0*B^(k-1) + ... + c7); list slices are 1-based
+# inclusive like Spark's slice(start, length). The CTE chain is shared
+# by the per-doc digest oracle and the pair-finding oracle.
+_WINNOW_CTE = """
     WITH d AS (
       SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
       FROM documents),
@@ -2295,12 +2295,46 @@ def _oracle_winnow_fp() -> str:
                                    i -> list_min(hs[i:i+3]))))
              END AS fps
       FROM h)
+"""
+
+
+def _oracle_winnow_fp() -> str:
+    return _WINNOW_CTE + """
     SELECT doc_id,
            len(fps)::BIGINT AS n_fp,
            CASE WHEN len(fps) > 0 THEN fps[1] END::BIGINT AS fp_min,
            CASE WHEN len(fps) > 0 THEN fps[-1] END::BIGINT AS fp_max,
            COALESCE(list_aggregate(fps, 'sum'), 0)::BIGINT AS fp_sum
     FROM m
+    """
+
+
+def q_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing pair-finding (the MOSS dedup stage): docs sharing >= 3
+    surviving fingerprints, hot boilerplate fingerprints (doc frequency
+    > 10) dropped before the self-join — the skew guard that keeps the
+    join linear at corpus scale."""
+    from hnormalise_spark.ops.textops import winnow_dup_pairs
+
+    df = spread_to_cores(spark.read.parquet(f"{sf}/documents.parquet"))
+    out = winnow_dup_pairs(df, "text", k=8, w=4, min_shared=3, max_df=10)
+    return out.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("shared").cast("long").alias("shared"),
+    )
+
+
+def _oracle_winnow_pairs() -> str:
+    return _WINNOW_CTE + """
+    , f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+    fd AS (SELECT doc_id, fp,
+                  COUNT(*) OVER (PARTITION BY fp) AS dfreq FROM f),
+    ok AS (SELECT doc_id, fp FROM fd WHERE dfreq <= 10)
+    SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+           COUNT(*)::BIGINT AS shared
+    FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
     """
 
 
@@ -2376,6 +2410,7 @@ def queries():
         "events_session_stats": q_events_session_stats,
         "distinct_counts": q_distinct_counts,
         "winnow_fp": q_winnow_fp,
+        "winnow_pairs": q_winnow_pairs,
         "bm25_topk": q_bm25_topk,
         "bm25_indexed": q_bm25_indexed,
         "multimodal_features": q_multimodal,
@@ -2431,6 +2466,7 @@ def oracle_sql():
         "events_session_stats": _oracle_events_session_stats(),
         "distinct_counts": _oracle_distinct_counts(),
         "winnow_fp": _oracle_winnow_fp(),
+        "winnow_pairs": _oracle_winnow_pairs(),
         "bm25_topk": _oracle_bm25_topk(),
         "bm25_indexed": _oracle_bm25_topk(),
         "multimodal_features": _oracle_multimodal(),

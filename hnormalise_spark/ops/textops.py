@@ -1072,3 +1072,44 @@ def winnow_fingerprints(
         )
         .drop("_wc", "_wh")
     )
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-duplicate pairs by shared winnowing fingerprints
+    (the MOSS pair-finding stage): explode each doc's fingerprint set,
+    drop fingerprints appearing in more than ``max_df`` docs (boiler-
+    plate phrases — at corpus scale a hot fingerprint would otherwise
+    quadratically dominate the self-join, the classic skew blowup), and
+    count shared fingerprints per (a, b) pair with a < b.
+
+    Plan: one shuffle keyed by fingerprint (the df-filter AND the
+    self-join reuse that partitioning), pair aggregation on the joined
+    stream. Output: (doc_a, doc_b, shared) with shared >= min_shared.
+    """
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, text_col, k=k, w=w).select(
+        F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
+    )
+    # document frequency per fingerprint — window over the SAME key as
+    # the join below, so Catalyst reuses one hash-partitioning
+    df_ok = fps.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    ).filter(F.col("_df") <= max_df)
+    a = df_ok.select(F.col("_id").alias("doc_a"), "fp")
+    b = df_ok.select(F.col("_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

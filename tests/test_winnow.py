@@ -81,3 +81,26 @@ def test_plan_has_no_shuffle(spark):
         winnow_fingerprints(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # embarrassingly parallel per doc
+
+
+def test_dup_pairs_finds_planted_near_dups(spark):
+    """Pair-finding: two docs sharing a long passage pair up; disjoint
+    docs don't; a passage shared by MANY docs (boilerplate) is dropped
+    by the df filter and creates no pairs on its own."""
+    from hnormalise_spark.ops.textops import winnow_dup_pairs
+
+    shared = "a genuinely distinctive duplicated paragraph with plenty of text"
+    boiler = "standard footer text appended to every single document here"
+    docs = [
+        (0, "unique prefix zero " + shared + " unique suffix zero"),
+        (1, "other prefix one " + shared + " other suffix one"),
+        (2, "completely different content about unrelated topics entirely"),
+    ] + [(10 + i, f"doc body {i} " + boiler) for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in winnow_dup_pairs(df, min_shared=2, max_df=4).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)  # boilerplate filtered
