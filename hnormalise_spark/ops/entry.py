@@ -2338,6 +2338,63 @@ def _oracle_winnow_pairs() -> str:
     """
 
 
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel over the events table: first view <
+    first click < first purchase per user, ONE user-keyed shuffle (see
+    ops/timeseries.funnel for the no-self-join argument)."""
+    from hnormalise_spark.ops.timeseries import funnel
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = funnel(ev, steps=("view", "click", "purchase"))
+    return out.select("step", F.col("n_users").cast("long").alias("n_users"))
+
+
+def _oracle_events_funnel() -> str:
+    return """
+    WITH p AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id)
+    SELECT 'view' AS step,
+           COUNT(*) FILTER (t0 IS NOT NULL)::BIGINT AS n_users FROM p
+    UNION ALL
+    SELECT 'click', COUNT(*) FILTER (t0 IS NOT NULL AND t1 > t0)::BIGINT FROM p
+    UNION ALL
+    SELECT 'purchase',
+           COUNT(*) FILTER (t0 IS NOT NULL AND t1 > t0 AND t2 > t1)::BIGINT FROM p
+    """
+
+
+def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention over the events table (cohort = first
+    active week; one user-keyed shuffle + calendar-bounded collect_set,
+    no join back to the fact table)."""
+    from hnormalise_spark.ops.timeseries import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = retention_cohorts(ev)
+    return out.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("period").cast("long").alias("period"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _oracle_events_retention() -> str:
+    return """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             floor(date_diff('day', DATE '2024-01-01', ts::DATE) / 7)::BIGINT AS wk
+      FROM events),
+    c AS (SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY user_id)
+    SELECT c.cohort::BIGINT AS cohort, uw.wk::BIGINT AS period,
+           COUNT(*)::BIGINT AS n_users
+    FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+    """
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type cardinality profile: total events plus EXACT
     distinct users and distinct active days in ONE pass (Spark's
@@ -2408,6 +2465,8 @@ def queries():
         "events_sessionize": q_events_sessionize,
         "events_asof": q_events_asof,
         "events_session_stats": q_events_session_stats,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "distinct_counts": q_distinct_counts,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
@@ -2464,6 +2523,8 @@ def oracle_sql():
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),
         "events_session_stats": _oracle_events_session_stats(),
+        "events_funnel": _oracle_events_funnel(),
+        "events_retention": _oracle_events_retention(),
         "distinct_counts": _oracle_distinct_counts(),
         "winnow_fp": _oracle_winnow_fp(),
         "winnow_pairs": _oracle_winnow_pairs(),

@@ -253,3 +253,80 @@ def distinct_profile(
         F.count_distinct(F.col(user_col)).alias("n_users"),
         F.count_distinct(F.to_date(ts_col)).alias("n_days"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user reaches step i iff their FIRST
+    occurrence of every step 0..i exists in strictly increasing time
+    order (first view < first click < first purchase).
+
+    Plan shape for 100 TB: ONE user-keyed shuffle computing the
+    conditional-min pivot (len(steps) first-timestamps per user,
+    map-side combined), then a single-row global aggregate over
+    per-user booleans — no self-joins, no per-step passes (the naive
+    formulation joins the events table len(steps) times).
+    Returns (step, n_users), one row per step, funnel-ordered.
+    """
+    mins = [
+        F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = events.groupBy(user_col).agg(*mins)
+    reach = F.col("_t0").isNotNull()
+    flags = [reach]
+    for i in range(1, len(steps)):
+        reach = (
+            reach
+            & F.col(f"_t{i}").isNotNull()
+            & (F.col(f"_t{i}") > F.col(f"_t{i - 1}"))
+        )
+        flags.append(reach)
+    totals = per_user.agg(
+        *[F.sum(fl.cast("long")).alias(f"_n{i}") for i, fl in enumerate(flags)]
+    )
+    rows = F.array(
+        *[
+            F.struct(F.lit(s).alias("step"), F.col(f"_n{i}").alias("n_users"))
+            for i, s in enumerate(steps)
+        ]
+    )
+    return totals.select(F.inline(rows))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    origin: str = "2024-01-01",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: cohort = a user's first active period (period
+    index = floor(days-since-origin / period_days)); a (cohort, week)
+    row counts the cohort's users active in that period.
+
+    Plan shape: ONE user-keyed shuffle builds (first period, set of
+    active periods) per user — collect_set is bounded by the calendar
+    (a few hundred periods max), not by event count — then the exploded
+    (cohort, period) pairs feed a small aggregate. count(*) there IS
+    the distinct-user count because the set already deduplicated
+    per-user periods. No join back to the events table."""
+    wk = F.floor(
+        F.datediff(F.to_date(F.col(ts_col)), F.to_date(F.lit(origin)))
+        / period_days
+    ).cast("long")
+    per_user = (
+        events.select(F.col(user_col).alias("_u"), wk.alias("_wk"))
+        .groupBy("_u")
+        .agg(F.min("_wk").alias("cohort"), F.collect_set("_wk").alias("_wks"))
+    )
+    return (
+        per_user.select("cohort", F.explode("_wks").alias("period"))
+        .groupBy("cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -217,3 +217,49 @@ def test_distinct_profile_exact_and_approx_bound(spark):
         assert abs(approx[t] - r["n_users"]) <= max(3, 0.05 * r["n_users"]), (
             t, approx[t], r["n_users"],
         )
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    """Reaching step i needs EVERY earlier step's first occurrence in
+    strictly increasing order: same-timestamp and out-of-order firsts
+    don't convert; later re-occurrences don't resurrect a dead funnel."""
+    import datetime as dt
+
+    from hnormalise_spark.ops.timeseries import funnel
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1 converts fully: view@0 click@1 purchase@2
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: click BEFORE first view; later click exists but FIRST
+        # click precedes first view -> stuck at view
+        (2, t(1), "click"), (2, t(2), "view"), (2, t(3), "purchase"),
+        # u3: view and click same timestamp -> not strictly after
+        (3, t(0), "view"), (3, t(0), "click"),
+        # u4: purchase without click
+        (4, t(0), "view"), (4, t(5), "purchase"),
+        # u5: never viewed
+        (5, t(0), "click"), (5, t(1), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["step"]: r["n_users"] for r in funnel(ev).collect()}
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
+def test_retention_cohorts_hand_golden(spark):
+    import datetime as dt
+
+    from hnormalise_spark.ops.timeseries import retention_cohorts
+
+    d = lambda day: dt.datetime(2024, 1, day, 12)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(2)),            # u1: cohort 0, active wk 0 only
+        (2, d(3)), (2, d(10)), (2, d(17)),  # u2: cohort 0, wks 0,1,2
+        (3, d(9)), (3, d(20)),           # u3: cohort 1, wks 1,2
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"], r["period"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
