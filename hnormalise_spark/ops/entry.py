@@ -2395,6 +2395,78 @@ def _oracle_events_retention() -> str:
     """
 
 
+def q_events_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order event-transition matrix (one user-partitioned lag
+    window feeding a tiny map-side-combined aggregate)."""
+    from hnormalise_spark.ops.timeseries import transition_matrix
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = transition_matrix(ev)
+    return out.select(
+        "prev_type", "next_type", F.col("n").cast("long").alias("n")
+    )
+
+
+def _oracle_events_transitions() -> str:
+    return """
+    WITH o AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+    FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    """
+
+
+def q_revenue_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic multi-way analytic join (the TPC-H revenue-rollup
+    shape): lineitem ⋈ orders co-keyed on orderkey (the one real
+    shuffle), customer and nation broadcast onto the stream. Revenue
+    in integer cents so both engines sum exactly."""
+    # floor(x*100 + 0.5): cast-to-long TRUNCATES in Spark but ROUNDS in
+    # DuckDB — floor on the identical double is engine-stable (same
+    # convention as quality_x1e4)
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def _oracle_revenue_by_nation() -> str:
+    return """
+    SELECT n.n_name AS nation,
+           SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+             AS revenue_cents,
+           COUNT(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type cardinality profile: total events plus EXACT
     distinct users and distinct active days in ONE pass (Spark's
@@ -2467,6 +2539,8 @@ def queries():
         "events_session_stats": q_events_session_stats,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_transitions": q_events_transitions,
+        "revenue_by_nation": q_revenue_by_nation,
         "distinct_counts": q_distinct_counts,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
@@ -2525,6 +2599,8 @@ def oracle_sql():
         "events_session_stats": _oracle_events_session_stats(),
         "events_funnel": _oracle_events_funnel(),
         "events_retention": _oracle_events_retention(),
+        "events_transitions": _oracle_events_transitions(),
+        "revenue_by_nation": _oracle_revenue_by_nation(),
         "distinct_counts": _oracle_distinct_counts(),
         "winnow_fp": _oracle_winnow_fp(),
         "winnow_pairs": _oracle_winnow_pairs(),

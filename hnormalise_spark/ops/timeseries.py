@@ -330,3 +330,29 @@ def retention_cohorts(
         .groupBy("cohort", "period")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order event-transition counts (the Markov matrix of user
+    behaviour): per user, order events by time and count each
+    consecutive (prev_type → type) pair.
+
+    One shuffle: the lag window partitions by user, and its output
+    aggregates into a (|types|²)-row matrix with map-side combine.
+    ``tiebreak_col`` makes equal-timestamp ordering deterministic
+    (same policy as sessionize)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("prev_type"), F.col(type_col).alias("next_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -79,3 +79,13 @@ def test_slurm_cluster_report_plan_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_revenue_join_plan_broadcasts_dims(spark):
+    """Multi-way analytic join: customer and nation broadcast; the only
+    shuffle-joined pair is lineitem x orders on the co-key."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["revenue_by_nation"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2

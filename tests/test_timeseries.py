@@ -263,3 +263,30 @@ def test_retention_cohorts_hand_golden(spark):
         for r in retention_cohorts(ev).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 1): 1, (1, 2): 1}
+
+
+def test_transition_matrix_hand_golden(spark):
+    import datetime as dt
+
+    from hnormalise_spark.ops.timeseries import transition_matrix
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, 1, t(0), "view"), (2, 1, t(1), "click"), (3, 1, t(2), "view"),
+        (4, 2, t(0), "view"), (5, 2, t(1), "view"),
+        (6, 3, t(0), "click"),  # single event: no transition
+        # user 4: equal timestamps — event_id tiebreak pins the order
+        (7, 4, t(0), "view"), (8, 4, t(0), "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_matrix(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): 2,
+        ("click", "view"): 1,
+        ("view", "view"): 1,
+    }
