@@ -2467,6 +2467,67 @@ def _oracle_revenue_by_nation() -> str:
     """
 
 
+def q_events_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day DAU + rolling 7-day distinct actives (see
+    ops/timeseries.active_users for the explode-not-collect_set scale
+    argument). Day rendered as an ISO string for the cross-engine
+    compare."""
+    from hnormalise_spark.ops.timeseries import active_users
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = active_users(ev)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+    )
+
+
+def _oracle_events_active_users() -> str:
+    return """
+    WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+    dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id)::BIGINT AS wau
+      FROM (SELECT DISTINCT day FROM ud) d
+      JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """
+
+
+def q_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON extraction from the events props column (P2
+    getJsonKey generalized to the analytics side): per event_type, sum
+    and max of props.k plus how many rows carry k > 50 — the JSON parse
+    stays JVM-side (get_json_object) and feeds a map-side-combined
+    aggregate."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum((F.col("k") > 50).cast("long")).cast("long").alias("n_over_50"),
+        )
+    )
+
+
+def _oracle_json_props() -> str:
+    return """
+    WITH j AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type, SUM(k)::BIGINT AS sum_k, MAX(k)::BIGINT AS max_k,
+           SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END)::BIGINT AS n_over_50
+    FROM j GROUP BY event_type
+    """
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type cardinality profile: total events plus EXACT
     distinct users and distinct active days in ONE pass (Spark's
@@ -2540,6 +2601,8 @@ def queries():
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_transitions": q_events_transitions,
+        "events_active_users": q_events_active_users,
+        "events_json_props": q_json_props,
         "revenue_by_nation": q_revenue_by_nation,
         "distinct_counts": q_distinct_counts,
         "winnow_fp": q_winnow_fp,
@@ -2600,6 +2663,8 @@ def oracle_sql():
         "events_funnel": _oracle_events_funnel(),
         "events_retention": _oracle_events_retention(),
         "events_transitions": _oracle_events_transitions(),
+        "events_active_users": _oracle_events_active_users(),
+        "events_json_props": _oracle_json_props(),
         "revenue_by_nation": _oracle_revenue_by_nation(),
         "distinct_counts": _oracle_distinct_counts(),
         "winnow_fp": _oracle_winnow_fp(),

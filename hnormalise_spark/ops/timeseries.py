@@ -356,3 +356,35 @@ def transition_matrix(
     return pairs.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Per-day DAU and rolling n-day distinct actives (WAU), the
+    scalable way: dedupe (day, user) once, then EXPLODE each pair into
+    the ``window_days`` window-end days it contributes to and count
+    distinct users per end day. No per-day user sets ever materialize
+    (collect_set per day would hold millions of users in one aggregation
+    state at corpus scale), no self-join of days against the fact table
+    — two distinct aggregates over (day,user)-sized streams, both with
+    partial dedup before their shuffle.
+
+    Only days observed in the data are returned (a window-end day with
+    no events of its own still counts look-back actives)."""
+    ud = events.select(
+        F.to_date(F.col(ts_col)).alias("day"), F.col(user_col).alias("_u")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covered = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("day"),
+        "_u",
+    )
+    wau = covered.groupBy("day").agg(F.count_distinct("_u").alias("wau"))
+    # inner join keeps observed days only; broadcast-size (calendar)
+    return dau.join(wau, "day").select("day", "dau", "wau")

@@ -290,3 +290,25 @@ def test_transition_matrix_hand_golden(spark):
         ("click", "view"): 1,
         ("view", "view"): 1,
     }
+
+
+def test_active_users_hand_golden(spark):
+    """DAU/WAU: rolling 7-day distinct actives via the explode pattern,
+    checked by hand — a user active on two days inside one window
+    counts once; only observed days come back."""
+    import datetime as dt
+
+    from hnormalise_spark.ops.timeseries import active_users
+
+    d = lambda day, u: (u, dt.datetime(2024, 1, day, 9))  # noqa: E731
+    rows = [d(1, 1), d(1, 2), d(3, 1), d(9, 1), d(9, 3), d(20, 4)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["day"]): (r["dau"], r["wau"]) for r in active_users(ev).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),  # u1,u2
+        "2024-01-03": (1, 2),  # window 12/28..1/3: u1,u2
+        "2024-01-09": (2, 2),  # window 1/3..1/9: u1 (both days count once), u3
+        "2024-01-20": (1, 1),
+    }
