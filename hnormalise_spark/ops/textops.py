@@ -1090,20 +1090,26 @@ def winnow_dup_pairs(
     quadratically dominate the self-join, the classic skew blowup), and
     count shared fingerprints per (a, b) pair with a < b.
 
-    Plan: one shuffle keyed by fingerprint (the df-filter AND the
-    self-join reuse that partitioning), pair aggregation on the joined
-    stream. Output: (doc_a, doc_b, shared) with shared >= min_shared.
+    Plan: the doc-frequency guard itself must not re-create the skew it
+    guards against — a window over partitionBy(fp) would buffer every
+    row of a hot fingerprint in ONE WindowExec group (no partial
+    aggregation) before filtering it. Instead: a map-side-combined
+    groupBy(fp).count() reduces even a 5M-doc boilerplate fingerprint
+    to one row per map task, the few fingerprints OVER the threshold
+    broadcast as a tiny exclusion set, and a broadcast anti-join drops
+    their rows without any fp-keyed shuffle of the exploded stream.
+    Output: (doc_a, doc_b, shared) with shared >= min_shared.
     """
-    from pyspark.sql import Window
-
     fps = winnow_fingerprints(df, text_col, k=k, w=w).select(
         F.col(id_col).alias("_id"), F.explode("fingerprints").alias("fp")
     )
-    # document frequency per fingerprint — window over the SAME key as
-    # the join below, so Catalyst reuses one hash-partitioning
-    df_ok = fps.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-    ).filter(F.col("_df") <= max_df)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("fp")
+    )
+    df_ok = fps.join(F.broadcast(hot), "fp", "left_anti")
     a = df_ok.select(F.col("_id").alias("doc_a"), "fp")
     b = df_ok.select(F.col("_id").alias("doc_b"), "fp")
     return (

@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from hnormalise_spark import get_spark
     from hnormalise_spark.config import load_config
-    from hnormalise_spark.pipeline import normalise_tokens, salted_repartition
+    from hnormalise_spark.pipeline import normalise, normalise_tokens, salted_repartition
     from hnormalise_spark import sinks, datagen, enrich, streaming
 
     # CLI flags override the merged config chain (user ⊕ system ⊕
@@ -70,12 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--input required unless --generate")
 
     if args.streaming:
-        q = streaming.start_pipeline(spark, args.input, args.output, available_now=True)
+        q = streaming.start_pipeline(
+            spark, args.input, args.output, available_now=True,
+            input_format=args.input_format,
+        )
         q.awaitTermination()
         print(f"streaming drained in {time.time()-t0:.1f}s")
         return 0
-
-    from hnormalise_spark.pipeline import normalise
 
     if args.input_format == "text":
         df = streaming.read_raw_text(spark, args.input)

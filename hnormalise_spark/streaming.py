@@ -119,6 +119,7 @@ def start_pipeline(
     in_dir: str,
     out_dir: str,
     available_now: bool = False,
+    input_format: str = "parquet",
 ) -> StreamingQuery:
     """stream → parse → success/failure/counts per micro-batch.
 
@@ -128,9 +129,16 @@ def start_pipeline(
     reference's *running* counter semantics. Restart-safe via the
     checkpoint: a re-delivered batch overwrites its own epoch partition
     (idempotent by batch_id), never double-counts.
+
+    ``input_format``: 'parquet' tails tokenized-sequence files;
+    'text' tails raw syslog files (read_raw_text_stream).
     """
-    stream = read_token_stream(spark, in_dir)
-    parsed = with_observed_metrics(normalise_tokens(stream))
+    from hnormalise_spark.pipeline import normalise
+
+    if input_format == "text":
+        parsed = with_observed_metrics(normalise(read_raw_text_stream(spark, in_dir)))
+    else:
+        parsed = with_observed_metrics(normalise_tokens(read_token_stream(spark, in_dir)))
 
     success_path = os.path.join(out_dir, "success")
     failure_path = os.path.join(out_dir, "failure")

@@ -139,7 +139,6 @@ def test_read_raw_text_batch_roundtrip(spark, tmp_path):
     from hnormalise_spark.fixtures import CORPUS
     from hnormalise_spark.streaming import read_raw_text
     from hnormalise_spark import pipeline as P
-    from pyspark.sql import functions as F
 
     log = tmp_path / "syslog.log"
     lines = [l for (_, _, _, l) in CORPUS if l and "\n" not in l]
@@ -171,7 +170,6 @@ def test_read_raw_text_stream_routes(spark, tmp_path):
     from hnormalise_spark.fixtures import CORPUS
     from hnormalise_spark.streaming import read_raw_text_stream
     from hnormalise_spark import pipeline as P
-    from pyspark.sql import functions as F
 
     in_dir = tmp_path / "logs"
     in_dir.mkdir()
