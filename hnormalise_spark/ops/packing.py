@@ -103,8 +103,10 @@ def mix_sources(
     wr = Window.partitionBy("shard", source_col).orderBy("u", key_col)
     wp = Window.partitionBy("shard").orderBy("vt", source_col, key_col)
     return (
+        # w > 0 also defines weight-0 as "exclude the source" (a plain
+        # isNotNull would crash the vt division with ANSI DIVIDE_BY_ZERO)
         df.withColumn("w", wexpr)
-        .filter(F.col("w").isNotNull())
+        .filter(F.col("w").isNotNull() & (F.col("w") > 0))
         .withColumn("u", u)
         .withColumn("shard", F.floor(F.col("u") * shards).cast("int"))
         .withColumn("vt", F.row_number().over(wr).cast("double") / F.col("w"))

@@ -33,7 +33,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has no defined cosine — it must score
+    # null (drops out of any top-k), not abort the batch (this session
+    # runs ANSI, where even double division by zero throws)
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_scores(
@@ -286,7 +289,9 @@ def _centroid_cos(vec: Column, centroid: list[float]) -> Column:
 
     c = F.array(*[F.lit(float(x)) for x in centroid])
     cn = math.sqrt(sum(x * x for x in centroid))
-    return dot(vec, c) / (norm(vec) * F.lit(cn))
+    # try_divide: zero row vector (or degenerate centroid) → null score
+    # for that row, never a batch-aborting ANSI DIVIDE_BY_ZERO
+    return F.try_divide(dot(vec, c), norm(vec) * F.lit(cn))
 
 
 def ivf_assign(

@@ -307,9 +307,14 @@ def _bm25_score(
                 + F.lit(k1)
                 * (
                     F.lit(1.0 - b)
+                    # try_divide: an all-empty corpus has avgdl 0; a
+                    # null length norm (→ null score) beats an ANSI
+                    # DIVIDE_BY_ZERO batch abort
                     + F.lit(b)
-                    * F.col("_len")
-                    / (F.col("_totlen").cast("double") / F.col("_n"))
+                    * F.try_divide(
+                        F.col("_len"),
+                        F.col("_totlen").cast("double") / F.col("_n"),
+                    )
                 )
             ),
         )

@@ -167,3 +167,37 @@ def test_salted_repartition_spreads_skewed_key(spark):
     assert salted_parts >= 4
     assert salted.count() == 10_000
     assert "_salt" not in salted.columns
+
+
+def test_zero_vector_cosine_nulls_not_crash(spark):
+    """A zero embedding has no defined cosine: it must drop from any
+    ranking as null, never abort the batch (ANSI DIVIDE_BY_ZERO)."""
+    from hnormalise_spark.ops.similarity import cosine
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])],
+        "doc_id long, embedding array<double>",
+    )
+    q = F.array(F.lit(1.0), F.lit(0.0))
+    got = {
+        r["doc_id"]: r["cos"]
+        for r in df.select(
+            "doc_id", cosine(F.col("embedding"), q).alias("cos")
+        ).collect()
+    }
+    assert got[2] is None and abs(got[1] - 1.0) < 1e-12 and abs(got[3] - 0.6) < 1e-12
+
+
+def test_pack_weight_zero_excludes_source(spark):
+    """mix weight 0 means 'exclude this source' — previously it crashed
+    the vt division under ANSI."""
+    from hnormalise_spark.ops.packing import mix_sources
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "a" if i % 2 else "b", 10) for i in range(20)],
+        "doc_id string, source string, n_tok int",
+    )
+    out = mix_sources(df, {"a": 1.0, "b": 0.0}, shards=2)
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"a"}
