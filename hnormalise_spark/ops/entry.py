@@ -2528,6 +2528,56 @@ def _oracle_json_props() -> str:
     """
 
 
+def q_brand_volume_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Four-way star join covering the remaining dimension tables:
+    lineitem fact ⋈ supplier ⋈ nation ⋈ region (all three dims
+    broadcast — the fact side never shuffles for a join) ⋈ part
+    (broadcast too at these SFs), rolled up to (region, brand) quantity
+    and revenue. Every base table in the driver's catalog now feeds at
+    least one oracled query."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    sup = spark.read.parquet(f"{sf}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    nat = spark.read.parquet(f"{sf}/nation.parquet").select("n_nationkey", "n_regionkey")
+    reg = spark.read.parquet(f"{sf}/region.parquet").select("r_regionkey", "r_name")
+    part = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_brand")
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("p_brand").alias("brand")
+    ).agg(
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("rev_cents").cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def _oracle_brand_volume_by_region() -> str:
+    return """
+    SELECT r.r_name AS region, p.p_brand AS brand,
+           SUM(l.l_quantity::BIGINT)::BIGINT AS total_qty,
+           SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT)::BIGINT
+             AS revenue_cents,
+           COUNT(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """
+
+
 def q_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type cardinality profile: total events plus EXACT
     distinct users and distinct active days in ONE pass (Spark's
@@ -2604,6 +2654,7 @@ def queries():
         "events_active_users": q_events_active_users,
         "events_json_props": q_json_props,
         "revenue_by_nation": q_revenue_by_nation,
+        "brand_volume_by_region": q_brand_volume_by_region,
         "distinct_counts": q_distinct_counts,
         "winnow_fp": q_winnow_fp,
         "winnow_pairs": q_winnow_pairs,
@@ -2666,6 +2717,7 @@ def oracle_sql():
         "events_active_users": _oracle_events_active_users(),
         "events_json_props": _oracle_json_props(),
         "revenue_by_nation": _oracle_revenue_by_nation(),
+        "brand_volume_by_region": _oracle_brand_volume_by_region(),
         "distinct_counts": _oracle_distinct_counts(),
         "winnow_fp": _oracle_winnow_fp(),
         "winnow_pairs": _oracle_winnow_pairs(),
