@@ -97,3 +97,17 @@ def test_revenue_join_plan_broadcasts_dims(spark):
     df = entry.queries()["revenue_by_nation"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_parse_to_counts_has_exactly_one_shuffle(spark):
+    """The headline claim pinned as a plan shape: the ENTIRE five-family
+    parse is shuffle-free — the only Exchange in parse → counts feeds
+    the tiny (source, parser, parse_ok) aggregate."""
+    from hnormalise_spark import pipeline as P
+    from hnormalise_spark.fixtures import CORPUS
+
+    df = spark.createDataFrame(
+        [(i, s, l) for (i, s, _, l) in CORPUS], "doc_id string, source string, raw string"
+    )
+    plan = _plan(P.counts(P.normalise(df)))
+    assert plan.count("Exchange") == 1
