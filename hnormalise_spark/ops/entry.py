@@ -1480,7 +1480,7 @@ def _oracle_mix_sources() -> str:
     return f"""
     WITH h AS (SELECT doc_id, lang, {u} AS u, {wcase} AS w FROM documents),
     s AS (SELECT doc_id, lang, u, w, floor(u * {PACK_SHARDS})::INT AS shard
-          FROM h WHERE w IS NOT NULL),
+          FROM h WHERE w IS NOT NULL AND w > 0),
     r AS (SELECT doc_id, lang, shard,
                  (row_number() OVER (PARTITION BY shard, lang ORDER BY u, doc_id))::DOUBLE / w AS vt
           FROM s)
@@ -2538,7 +2538,7 @@ def q_brand_volume_by_region(spark: SparkSession, sf: str) -> DataFrame:
     li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
         "l_suppkey",
         "l_partkey",
-        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
         F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
         .cast("long")
         .alias("rev_cents"),
@@ -2565,7 +2565,7 @@ def q_brand_volume_by_region(spark: SparkSession, sf: str) -> DataFrame:
 def _oracle_brand_volume_by_region() -> str:
     return """
     SELECT r.r_name AS region, p.p_brand AS brand,
-           SUM(l.l_quantity::BIGINT)::BIGINT AS total_qty,
+           SUM(floor(l.l_quantity + 0.5)::BIGINT)::BIGINT AS total_qty,
            SUM(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT)::BIGINT
              AS revenue_cents,
            COUNT(*)::BIGINT AS n_items

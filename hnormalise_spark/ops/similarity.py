@@ -34,8 +34,8 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     # try_divide: a zero vector has no defined cosine — it must score
-    # null (drops out of any top-k), not abort the batch (this session
-    # runs ANSI, where even double division by zero throws)
+    # null (cosine_topk filters nulls out), not abort the batch (this
+    # session runs ANSI, where even double division by zero throws)
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
@@ -53,10 +53,13 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: orderBy+limit compiles to
     TakeOrderedAndProject (per-partition heap + driver merge — no
-    global sort shuffle; verify in .explain)."""
+    global sort shuffle; verify in .explain). Null scores (zero
+    vectors — cosine undefined) are filtered so every returned row is a
+    real match even when fewer than k rows score."""
     return (
         cosine_scores(df, query_vec, vec_col)
         .select(id_col, "cosine")
+        .filter(F.col("cosine").isNotNull())
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
@@ -282,16 +285,6 @@ def ivf_centroids(
         .collect()
     )
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
-
-
-def _centroid_cos(vec: Column, centroid: list[float]) -> Column:
-    import math
-
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    cn = math.sqrt(sum(x * x for x in centroid))
-    # try_divide: zero row vector (or degenerate centroid) → null score
-    # for that row, never a batch-aborting ANSI DIVIDE_BY_ZERO
-    return F.try_divide(dot(vec, c), norm(vec) * F.lit(cn))
 
 
 def ivf_assign(
