@@ -548,6 +548,7 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> "DataFrame":
     """Near-duplicate detection in EMBEDDING space: candidate pairs are
     generated by an LSH sign-sketch bucket equi-join (two vectors are
@@ -556,25 +557,74 @@ def embedding_neardup_pairs(
     with the exact cosine. The join is a hash equi-join on the bucket
     key, never all-pairs: shuffle and compare cost are bounded by the
     in-bucket pair count, the same bound as ``minhash_lsh_dedup``'s
-    band join. Recall tightens/loosens via n_planes; at cluster scale
-    the sketched frame is one map-side projection feeding one shuffle.
-    Skewed buckets (a dense semantic cluster) behave like any skewed
-    join key — AQE skew-join splits them, and ``n_planes`` can be
-    raised to subdivide hot buckets."""
+    band join. Recall tightens/loosens via n_planes.
+
+    Hot-bucket guard (the ``winnow_dup_pairs`` pattern, ported per the
+    round-4 review): a degenerate corpus — one dense semantic cluster,
+    boilerplate embeddings — lands m docs in ONE bucket, and the
+    self-join there is m(m-1)/2 pairs; at m=10^6 that is 5·10^11
+    compares under a single join key, beyond what AQE skew-splitting
+    can absorb. So bucket sizes are counted FIRST (map-side-combined
+    groupBy: even a 10^6-row bucket reduces to one row per map task —
+    deliberately NOT a window over partitionBy(_b), which would buffer
+    the whole hot bucket in one WindowExec group), the few buckets
+    over ``max_bucket`` broadcast as a tiny hot set, and those buckets
+    switch from all-pairs to STAR pairing: every member is compared to
+    the bucket's min-id hub only (m-1 pairs, linear in m). For the
+    downstream use — edges into ``connected_components`` — the star
+    keeps a genuinely-duplicate cluster connected whenever the hub
+    clears the threshold; the trade is that spoke-spoke pairs whose
+    hub fails the threshold are missed, which for a bucket that hot
+    (ALL n_planes sign bits equal across > max_bucket docs) is the
+    boilerplate case winnowing drops outright. Buckets at or under
+    ``max_bucket`` are exact and unchanged; the default sits far above
+    any healthy bucket so the guard only fires on pathological skew.
+    """
     from hnormalise_spark.ops.similarity import cosine, lsh_sketch
 
     sk = df.select(
         F.col(id_col), F.col(vec_col), lsh_sketch(F.col(vec_col), dim, n_planes).alias("_b")
     )
-    a = sk.select(
+    hot = (
+        sk.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > max_bucket)
+        .select("_b")
+        .withColumn("_hot", F.lit(True))
+    )
+    sk = sk.join(F.broadcast(hot), "_b", "left").withColumn(
+        "_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    )
+
+    cold = sk.filter(~F.col("_hot"))
+    a = cold.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_b")
     )
-    b = sk.select(
+    b = cold.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_b")
     )
     pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+
+    # hub per hot bucket = min id; one row per hot bucket, broadcast
+    hot_rows = sk.filter(F.col("_hot"))
+    hubs = hot_rows.groupBy("_b").agg(F.min(F.col(id_col)).alias("id_a"))
+    hub_vecs = hubs.join(
+        hot_rows.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), "_b"
+        ),
+        ["_b", "id_a"],
+    )
+    star = (
+        hot_rows.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), "_b"
+        )
+        .join(F.broadcast(hub_vecs), "_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
     return (
-        pairs.withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
+        pairs.unionByName(star.select("id_a", "_va", "_b", "id_b", "_vb"))
+        .withColumn("cosine", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "_b", "cosine")
         .withColumnRenamed("_b", "bucket")

@@ -708,10 +708,11 @@ def _oracle_ann_recall() -> str:
     return f"""
     WITH exact AS (SELECT vec_id FROM ({_oracle_similarity_topk()})),
     approx AS (SELECT DISTINCT vec_id FROM ({_oracle_similarity_ivf()})),
-    hits AS (SELECT count(*) AS n FROM exact JOIN approx USING (vec_id))
+    hits AS (SELECT count(*) AS n FROM exact JOIN approx USING (vec_id)),
+    ex AS (SELECT greatest(count(*), 1) AS ne FROM exact)
     SELECT 50::BIGINT AS k, n::BIGINT AS n_hits,
-           floor(n * 1000000.0 / 50 + 0.5)::BIGINT AS recall_x1e6
-    FROM hits
+           floor(n * 1000000.0 / ne + 0.5)::BIGINT AS recall_x1e6
+    FROM hits, ex
     """
 
 
@@ -2112,16 +2113,96 @@ def _oracle_curation_pipeline() -> str:
 
 def q_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Iterative BPE training (8 merges) — corpus touched once, loop
-    over the vocabulary. Genuinely iterative (each merge depends on
-    the previous), so no single-statement SQL oracle: the driver
-    records the rows-only check and pytest pins the merge sequence
-    against an independent pure-Python reference implementation."""
+    over the vocabulary. Each merge depends on the previous, so the
+    DuckDB oracle UNROLLS the loop: 8 chained (pair-count → argmax →
+    recursive-CTE greedy fusion) blocks re-derive the whole merge
+    table independently in one SQL statement — no value is smuggled
+    from the Spark side. Pytest additionally pins the sequence against
+    a pure-Python reference implementation."""
     from hnormalise_spark.ops import textops as T
 
     docs = spread_to_cores(
         spark.read.parquet(f"{sf}/documents.parquet").select("text")
     )
     return T.bpe_train(docs, n_merges=8)
+
+
+BPE_MERGES = 8
+
+
+def _bpe_train_ctes(n_merges: int = BPE_MERGES) -> str:
+    """The WITH-chain re-deriving BPE training in pure DuckDB SQL, one
+    unrolled block per merge: pairs{m} counts adjacent symbol pairs
+    over vocab{m-1} weighted by word count, top{m} is the
+    deterministic argmax (count desc, left asc, right asc — the same
+    tiebreak as ``textops.bpe_train``), and fuse{m} is a recursive CTE
+    running the identical greedy left-to-right fold per vocabulary
+    word (the accumulator-tail check: a row steps one symbol per
+    recursion level, so total recursion rows = Σ word lengths over the
+    VOCABULARY — small). Shared by the train and encode oracles."""
+    ctes = [
+        """words AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL)""",
+        """vocab0 AS (
+    SELECT w, count(*)::BIGINT AS wc, regexp_split_to_array(w, '') AS syms
+    FROM words WHERE w <> '' GROUP BY w)""",
+    ]
+    for m in range(1, n_merges + 1):
+        p = m - 1
+        ctes.append(f"""pairs{m} AS (
+    SELECT v.wc, v.syms[i] AS l, v.syms[i+1] AS r
+    FROM vocab{p} v, UNNEST(range(1, len(v.syms))) t(i)
+    WHERE len(v.syms) >= 2)""")
+        ctes.append(f"""top{m} AS (
+    SELECT l, r, sum(wc)::BIGINT AS c
+    FROM pairs{m} GROUP BY 1, 2
+    ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
+        ctes.append(f"""fuse{m} AS (
+    SELECT v.w, v.wc, v.syms, []::VARCHAR[] AS acc, 1 AS i, t.l, t.r
+    FROM vocab{p} v, top{m} t
+    UNION ALL
+    SELECT w, wc, syms,
+           CASE WHEN len(acc) > 0 AND acc[len(acc)] = l AND syms[i] = r
+                THEN list_append(acc[1:len(acc)-1], l || r)
+                ELSE list_append(acc, syms[i]) END,
+           i + 1, l, r
+    FROM fuse{m} WHERE i <= len(syms))""")
+        ctes.append(f"""vocab{m} AS (
+    SELECT w, wc, acc AS syms FROM fuse{m} WHERE i = len(syms) + 1)""")
+    return "WITH RECURSIVE " + ",\n".join(ctes)
+
+
+def _oracle_bpe_train() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT {m - 1} AS merge_rank, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, c AS pair_count FROM top{m}"
+        for m in range(1, BPE_MERGES + 1)
+    )
+    return (
+        _bpe_train_ctes()
+        + f"""
+SELECT merge_rank::INT AS merge_rank, "left", "right", merged, pair_count
+FROM ({selects}) ORDER BY merge_rank
+"""
+    )
+
+
+def _oracle_bpe_encode() -> str:
+    return (
+        _bpe_train_ctes()
+        + f""",
+docw AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(length(w))::BIGINT AS n_chars,
+       sum(len(v.syms))::BIGINT AS n_bpe_tokens
+FROM docw JOIN vocab{BPE_MERGES} v USING (w)
+GROUP BY doc_id
+"""
+    )
 
 
 GATED_QUALITY_MIN = 8930  # quality_x1e4 gate (~corpus median: the gate actually bites)
@@ -2230,9 +2311,10 @@ def _oracle_tfidf_topk() -> str:
 def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer closure: train 8 BPE merges on the corpus, then apply
     them vocab-side and report per-doc compression (words, chars,
-    post-merge subword count). Depends on runtime-learned merges, so
-    rows-only for the driver; pytest pins the encode fold against a
-    pure-Python reference."""
+    post-merge subword count). The DuckDB oracle re-derives the merges
+    itself (unrolled recursive-CTE training, see ``_bpe_train_ctes``)
+    and re-encodes every doc; pytest additionally pins the encode fold
+    against a pure-Python reference."""
     from hnormalise_spark.ops import textops as T
 
     docs = spread_to_cores(
@@ -2704,9 +2786,12 @@ def oracle_sql():
         "budget_select_grouped": _oracle_budget_select_grouped(),
         "filter_funnel": _oracle_filter_funnel(),
         "quantize_embeddings": _oracle_quantize_embeddings(),
-        # bpe_train: iterative (merge i+1 depends on merge i) — no
-        # single-statement SQL form; pytest pins it against a pure-
-        # Python reference, the driver records rows-only.
+        # bpe_train/bpe_encode: iterative (merge i+1 depends on merge
+        # i), oracled by UNROLLING the 8 merges into chained
+        # pair-count/argmax/recursive-fusion CTE blocks — fully
+        # independent re-derivation, no Spark-side values embedded.
+        "bpe_train": _oracle_bpe_train(),
+        "bpe_encode": _oracle_bpe_encode(),
         "events_rollup": _oracle_events_rollup(),
         "events_sessionize": _oracle_events_sessionize(),
         "events_asof": _oracle_events_asof(),

@@ -467,6 +467,13 @@ def recall_at_k(
     distinct ids map-side; one count aggregate, one row out — the
     corpus itself is touched only by whatever produced the two inputs.
 
+    The denominator is the exact side's ACTUAL row count, not the
+    literal k: on a small corpus (or when null-cosine rows were
+    filtered out of the exact top-k) the exact list can hold fewer
+    than k rows, and dividing by k would understate a perfect
+    candidate set as < 1.0. The count is one extra single-row agg over
+    an already-k-row frame — free.
+
     Returns one row: (k, n_hits, recall_x1e6).
     """
     hits = (
@@ -474,10 +481,17 @@ def recall_at_k(
         .distinct()
         .join(F.broadcast(exact_topk.select(id_col)), id_col)
     )
-    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
-        F.lit(k).cast("long").alias("k"),
-        F.col("n_hits").cast("long").alias("n_hits"),
-        F.floor(F.col("n_hits") * F.lit(1e6) / F.lit(k) + F.lit(0.5))
-        .cast("long")
-        .alias("recall_x1e6"),
+    n_exact = exact_topk.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).alias("_n_exact")
+    )
+    return (
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.floor(F.col("n_hits") * F.lit(1e6) / F.col("_n_exact") + F.lit(0.5))
+            .cast("long")
+            .alias("recall_x1e6"),
+        )
     )

@@ -1030,8 +1030,12 @@ def winnow_fingerprints(
     expressions (transform/aggregate HOFs) — embarrassingly parallel
     per document, no shuffle, so the op scales with the scan like the
     other per-doc text stats. The hash is Σ cp_j·B^(k-1-j) mod
-    1_000_000_007 computed exactly in 64-bit (max Σ < 2^46 for k=8,
-    B=31), so an independent SQL engine reproduces it bit-for-bit.
+    1_000_000_007 with the mod applied INSIDE the Horner fold (each
+    step stays < MOD·B + 127 < 2^35, far inside int64 for ANY k, so an
+    ANSI overflow abort is impossible no matter how large a caller
+    makes k), and modular arithmetic makes the per-step result
+    identical to the mod-at-the-end value — an independent SQL engine
+    reproduces it bit-for-bit.
 
     Docs shorter than ``k`` after normalisation yield []; docs with
     fewer than ``w`` k-grams yield the single global minimum.
@@ -1049,13 +1053,11 @@ def winnow_fingerprints(
     codepoints = F.transform(F.array_remove(F.split(t, "(?!^)"), ""), F.ascii)
     wc = F.col("_wc")
     n_grams = F.size(wc) - F.lit(k - 1)
-    gram_hash = lambda i: (  # noqa: E731  1-based position i
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            F.lit(0).cast("long"),
-            lambda acc, j: acc * WINNOW_BASE + F.element_at(wc, (i + j).cast("int")),
-        )
-        % WINNOW_MOD
+    gram_hash = lambda i: F.aggregate(  # noqa: E731  1-based position i
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: (acc * WINNOW_BASE + F.element_at(wc, (i + j).cast("int")))
+        % WINNOW_MOD,
     )
     hashes = F.when(
         n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)

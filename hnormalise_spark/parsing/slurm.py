@@ -68,10 +68,12 @@ RE_HOSTLIST = rf"^(?:\(null\)|{_RE_GROUP}(?:,{_RE_GROUP})*)$"
 # before any '[' ahead of it
 RE_TOP_COMMA = r",(?![^\[]*\])"
 
-# Widest single range a record may expand (Slurm clusters top out at
-# ~10^4 nodes; 2^16 leaves 6× headroom). A wider range fails the row —
-# without this, one line saying node[1-9999999] materializes a
-# multi-million-element array per row and can OOM an executor.
+# Most hosts a record's WHOLE hostlist may expand to, summed across
+# every range and group (Slurm clusters top out at ~10^4 nodes; 2^16
+# leaves 6× headroom). A wider record fails the row — without this,
+# one line saying node[1-9999999] (or thousands of comma-separated
+# groups each just under a per-range cap) materializes a multi-
+# million-element array per row and can OOM an executor.
 MAX_RANGE_WIDTH = 65536
 
 
@@ -127,15 +129,35 @@ def slurm_hostlist(s: Column) -> Column:
         )
         return F.when(has_br, expanded).otherwise(F.array(e))
 
-    def spec_narrow(p: Column) -> Column:
+    def spec_width(p: Column) -> Column:
+        # hosts one spec contributes: hi-lo+1 for an ascending range
+        # (specs are <= 8 digits, so this fits int), 1 for a bare
+        # number, 0 for a descending range (expands to nothing)
         lo_s, hi = bounds(p)
-        return F.coalesce(hi - lo_s.try_cast("int"), F.lit(0)) < MAX_RANGE_WIDTH
+        return F.greatest(
+            F.coalesce(hi - lo_s.try_cast("int") + 1, F.lit(1)), F.lit(0)
+        ).cast("long")
 
     groups = F.split(s, RE_TOP_COMMA)
-    widths_ok = F.forall(
+    # Bound the RECORD's total expansion, not just each range: many
+    # comma-separated groups each just under a per-range cap would
+    # still materialize millions of elements in one row. Summing the
+    # widths first is O(#specs) string work — the expensive sequence()
+    # expansion only runs on rows that pass.
+    total_width = F.aggregate(
         groups,
-        lambda e: ~e.contains("[") | F.forall(F.split(inner_of(e), ","), spec_narrow),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + F.when(
+            e.contains("["),
+            F.aggregate(
+                F.split(inner_of(e), ","),
+                F.lit(0).cast("long"),
+                lambda a, p: a + spec_width(p),
+            ),
+        ).otherwise(F.lit(1).cast("long")),
     )
+    widths_ok = total_width < MAX_RANGE_WIDTH
     empty = F.array().cast("array<string>")
     joined = F.flatten(F.transform(groups, elem))
     return (

@@ -127,3 +127,62 @@ def test_neardup_pairs_semantics(emb):
         )
         assert c >= 0.5 - 1e-9
         assert abs(c - row["cosine"]) < 1e-9
+
+
+def test_neardup_hot_bucket_guard_bounds_pairs(spark):
+    """Planted dense cluster: 120 near-identical vectors (one hot LSH
+    bucket) + a benign scatter. With max_bucket below the cluster size
+    the hot bucket must produce STAR pairs (m-1 per bucket, hub =
+    min id), not the m(m-1)/2 all-pairs blowup — and the hub edges keep
+    the cluster connected for downstream connected_components."""
+    hot_n = 120
+    base = spark.range(hot_n).toDF("vec_id")
+    # all members ~ the same direction (tiny per-id jitter on one axis)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: (
+            F.lit(1.0) + F.when(d == 0, F.col("vec_id").cast("double") / 1e6).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    dense = base.withColumn("embedding", vec)
+    # scatter rows in other buckets, below the cap
+    scatter = (
+        spark.range(1000, 1040)
+        .toDF("vec_id")
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda d: ((F.col("vec_id") * 13 + d * 29) % 11 - 5).cast("float") / 5.0,
+            ),
+        )
+    )
+    emb2 = dense.unionByName(scatter)
+
+    got = D.embedding_neardup_pairs(
+        emb2, DIM, threshold=0.99, n_planes=4, max_bucket=50
+    ).collect()
+    hot_pairs = [r for r in got if r["id_a"] < hot_n and r["id_b"] < hot_n]
+    # star, not quadratic: exactly m-1 edges, every one anchored at the hub
+    assert len(hot_pairs) == hot_n - 1
+    assert all(r["id_a"] == 0 for r in hot_pairs)
+    assert {r["id_b"] for r in hot_pairs} == set(range(1, hot_n))
+
+    # guard off (cap above cluster size) -> exact all-pairs in the bucket
+    exact = D.embedding_neardup_pairs(
+        emb2, DIM, threshold=0.99, n_planes=4, max_bucket=4096
+    ).collect()
+    exact_hot = [r for r in exact if r["id_a"] < hot_n and r["id_b"] < hot_n]
+    assert len(exact_hot) == hot_n * (hot_n - 1) // 2
+
+
+def test_recall_at_k_uses_actual_exact_count(spark):
+    """A perfect candidate set over a short exact list must report
+    recall 1.0 — the denominator is the exact side's row count, not
+    the literal k (round-4 advice)."""
+    exact = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+    approx = spark.createDataFrame([(1,), (2,), (3,), (9,)], "vec_id long")
+    row = S.recall_at_k(exact, approx, k=10).collect()[0]
+    assert row["k"] == 10
+    assert row["n_hits"] == 3
+    assert row["recall_x1e6"] == 1_000_000

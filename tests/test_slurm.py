@@ -234,3 +234,26 @@ def test_hostlist_descending_range_contributes_nothing(spark):
 def test_hostile_numerics_fail_row_not_batch(spark, bad):
     r = _parse_one(spark, bad)
     assert not r["parse_ok"] and r["slurm"] is None
+
+
+def test_hostlist_record_total_expansion_bounded(spark):
+    """The OOM guard bounds the RECORD, not just each range: many
+    comma-separated groups each under the per-range cap must still
+    fail the row once their summed width crosses MAX_RANGE_WIDTH
+    (round-4 advice)."""
+    # 3 groups x 60000 each = 180k total, every individual range narrow
+    expr = ",".join(f"g{i}[1-60000]" for i in range(3))
+    got = (
+        spark.createDataFrame([(expr,)], "s string")
+        .select(slurm_hostlist(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got is None
+
+    # but a record whose TOTAL is under the cap still expands fine
+    ok = (
+        spark.createDataFrame([("a[1-3],b[2-4]x,c",)], "s string")
+        .select(slurm_hostlist(F.col("s")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert ok == ["a1", "a2", "a3", "b2x", "b3x", "b4x", "c"]

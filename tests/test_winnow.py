@@ -104,3 +104,14 @@ def test_dup_pairs_finds_planted_near_dups(spark):
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
     assert not any(a >= 10 and b >= 10 for a, b in pairs)  # boilerplate filtered
+
+
+def test_large_k_no_ansi_overflow(spark):
+    """k=24 used to overflow int64 mid-fold (mod was applied only at
+    the end); with the mod inside the Horner step every k works and
+    still matches the pure-Python mod-at-each-step value (identical to
+    mod-at-the-end by modular arithmetic)."""
+    texts = ["the quick brown fox jumps over the lazy dog " * 3]
+    got = _fps(spark, texts, k=24, w=5)
+    assert got[0] == py_winnow(texts[0], k=24, w=5)
+    assert len(got[0]) >= 1
