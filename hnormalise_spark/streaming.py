@@ -81,6 +81,37 @@ def read_raw_text_stream(
     )
 
 
+def read_socket_stream(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999,
+    source: str = "syslog",
+) -> DataFrame:
+    """Live TCP byte-stream source — the in-sandbox analogue of the
+    reference's socket listen mode (Communication/TCP.hs:43-64,
+    ZeroMQ.hs:69-111): newline-framed UTF-8 syslog lines over a TCP
+    connection, one record per line, entering the SAME normalise()
+    transform as every other source. Spark's built-in socket source
+    CONNECTS to the peer (the rsyslog omfwd side listens), the mirror
+    image of the reference's accept loop; the byte-stream semantics —
+    live lines, no record coordinates, no replay — are identical.
+
+    doc_id is a content hash (the read_raw_text_stream convention:
+    routing/counts never key on doc_id). The socket source keeps no
+    offsets, so it is a dev/test source by design — production
+    deployments use the Kafka reader, which has coordinates and
+    exactly-once resume. A closed peer ends the stream."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", int(port))
+        .load()
+    )
+    return lines.select(
+        F.hex(F.xxhash64(F.col("value"))).alias("doc_id"),
+        F.lit(source).alias("source"),
+        F.col("value").alias("raw"),
+    )
+
+
 def kafka_stream_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -131,12 +162,22 @@ def start_pipeline(
     (idempotent by batch_id), never double-counts.
 
     ``input_format``: 'parquet' tails tokenized-sequence files;
-    'text' tails raw syslog files (read_raw_text_stream).
+    'text' tails raw syslog files (read_raw_text_stream);
+    'raw_parquet' tails parquet files already in the raw input shape
+    (doc_id, source, raw) — the replayable-corpus variant used by the
+    stream/batch parity checks.
     """
     from hnormalise_spark.pipeline import normalise
 
     if input_format == "text":
         parsed = with_observed_metrics(normalise(read_raw_text_stream(spark, in_dir)))
+    elif input_format == "raw_parquet":
+        raw = (
+            spark.readStream.schema("doc_id string, source string, raw string")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(in_dir)
+        )
+        parsed = with_observed_metrics(normalise(raw))
     else:
         parsed = with_observed_metrics(normalise_tokens(read_token_stream(spark, in_dir)))
 
