@@ -69,24 +69,32 @@ STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "2.0"))
 STEAL_RETRIES = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
 
 
-def timed(fn, retries: int = STEAL_RETRIES) -> tuple[float, float, int]:
-    """Run ``fn``, return (wall_sec, steal_pct, n_runs). Re-runs on a
-    stolen window, keeping the lowest-steal run (NOT the fastest — a
-    fast-but-stolen run would still be biased)."""
-    best = None
-    runs = 0
-    for _ in range(retries + 1):
+def timed(fn, retries: int = STEAL_RETRIES, min_runs: int = 1) -> tuple[float, float, int, list[float]]:
+    """Run ``fn``, return (wall_sec, steal_pct, n_runs, all_walls).
+
+    Re-runs on a stolen window (keeping the lowest-steal run, NOT the
+    fastest — a fast-but-stolen run would still be biased). With
+    ``min_runs`` > 1 it always runs at least that many times and
+    reports the MEDIAN wall among steal-clean runs, so the headline
+    number is never a single sample on a host documented to swing
+    ±10% (round-4 review item)."""
+    samples: list[tuple[float, float]] = []  # (wall, steal)
+    for i in range(max(min_runs, 1) + retries):
         s0 = _cpu_sample()
         t0 = time.perf_counter()
         fn()
         wall = time.perf_counter() - t0
         sp = _steal_pct(s0, _cpu_sample())
-        runs += 1
-        if best is None or sp < best[1]:
-            best = (wall, sp)
-        if sp <= STEAL_MAX:
+        samples.append((wall, sp))
+        clean = [s for s in samples if s[1] <= STEAL_MAX]
+        if len(clean) >= min_runs:
             break
-    return best[0], best[1], runs
+    clean = sorted(s for s in samples if s[1] <= STEAL_MAX)
+    if clean:
+        wall, sp = clean[len(clean) // 2]  # median-wall clean run
+    else:
+        wall, sp = min(samples, key=lambda s: s[1])  # least-stolen
+    return wall, sp, len(samples), [round(w, 2) for w, _ in samples]
 
 
 def main() -> int:
@@ -136,7 +144,8 @@ def main() -> int:
             for r in spark.read.parquet(paths["counts"]).collect()
         }
 
-    wall, pipe_steal, pipe_runs = timed(pipeline_leg)
+    min_runs = int(os.environ.get("SPARK_GRAFT_PIPE_RUNS", "3"))
+    wall, pipe_steal, pipe_runs, pipe_walls = timed(pipeline_leg, min_runs=min_runs)
     lps = n_lines / wall
 
     # --- leg 2: per-query wall clock -----------------------------------
@@ -155,28 +164,62 @@ def main() -> int:
             # numbers also made early-alphabet queries look slower
             # than late ones for no data reason.
             force(fn(spark, sf_dir))
-            w, sp, _ = timed(lambda: force(fn(spark, sf_dir)))
+            w, sp, _, _ = timed(lambda: force(fn(spark, sf_dir)))
             q_secs[name] = round(w, 3)
             q_steal[name] = sp
 
     n_success = sum(v for (s, p, ok), v in count_box["rows"].items() if ok)
-    result = {
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    full = {
         "metric": "normalised lines/sec (tokens->parse->route->json->counts)",
         "value": round(lps, 1),
         "unit": "lines/s",
         "queries": q_secs,
         "query_steal_pct": q_steal,
-        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None,
+        "sf": sf,
         "bench_lines": n_lines,
         "pipeline_wall_sec": round(wall, 2),
         "pipeline_steal_pct": pipe_steal,
         "pipeline_runs": pipe_runs,
+        "pipeline_walls_sec": pipe_walls,
         "steal_max_pct": STEAL_MAX,
         "success_lines": n_success,
         "fail_lines": n_lines - n_success,
         "cpus": cpus,
     }
-    print(json.dumps(result))
+    # Full record first (humans, logs, BENCH_FULL.json survives on disk)…
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    print(json.dumps(full))
+
+    # …then ONE COMPACT FINAL LINE sized for the driver's 2000-char
+    # stdout tail capture (round 4's full line was ~4 KB, so the tail
+    # cut its head off and the driver recorded parsed=null). Keep the
+    # headline + the complete per-leg seconds dict; if a grown registry
+    # ever pushes past the budget, drop the FASTEST legs first and say
+    # how many were omitted rather than truncate mid-JSON.
+    compact = {
+        "metric": "pipeline lines/s",
+        "value": round(lps, 1),
+        "unit": "lines/s",
+        "sf": sf,
+        "pipeline_wall_sec": round(wall, 2),
+        "pipeline_steal_pct": pipe_steal,
+        "pipeline_runs": pipe_runs,
+        "queries": {k: round(v, 2) for k, v in q_secs.items()},
+    }
+    budget = 1900
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        by_speed = sorted(compact["queries"], key=lambda k: compact["queries"][k])
+        omitted = 0
+        while len(line) > budget and by_speed:
+            compact["queries"].pop(by_speed.pop(0))
+            omitted += 1
+            compact["queries_omitted_fastest"] = omitted
+            line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Single-JVM 8→32 scaling diagnosis (round-4 verdict item 7).
+
+The executor-group proxy meets the north rule (8→32 eff 0.99,
+BASELINE.md), but one JVM at local[8]→local[32] has sat at ~0.77 for
+two rounds. This harness attributes the gap by instrumenting each leg
+with the JVM's own counters — per-process CPU time (is the JVM even
+USING 4× the cores?), GC collection time (is the shared heap the
+serial bottleneck?), and GC count — and A/B-ing the candidate causes:
+
+    leg 8-base      local[8], stock session        (reference point)
+    leg 32-base     local[32], stock session       (the 0.77 number)
+    leg 32-parallel local[32], -XX:+UseParallelGC  (GC hypothesis)
+    leg 32-bigyoung local[32], G1 + 4g young gen   (allocation-rate h.)
+    leg 32-heap16   local[32], 16g heap            (heap-pressure h.)
+
+Interpretation key (written into BASELINE.md with the numbers):
+  * cpu_utilization ≈ n_threads AND gc_frac small on every variant →
+    threads are busy but each retires less work per cycle: shared
+    memory-subsystem ceiling (single socket, 105 MiB L3 for 32 cores),
+    the same class as the synthetic-kernel envelope in BASELINE.md —
+    a real cluster adds sockets per executor group, which is exactly
+    what the multi-JVM proxy shows at 0.99.
+  * cpu_utilization ≪ n_threads → scheduling / lock / safepoint gap,
+    would point at Spark-side contention (NOT closable by config).
+  * gc_frac high at 32 and a GC variant closes the gap → tune session.
+
+Every leg runs the identical deterministic 2M-line corpus with the
+same warm-up discipline as bench.py, steal-stamped.
+
+Usage: python scripts/scaling_diag.py [n_lines]
+Prints one JSON line per leg + a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import STEAL_MAX, _cpu_sample, _steal_pct  # noqa: E402
+
+N_LINES = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+    os.environ.get("SPARK_GRAFT_BENCH_LINES", "2000000")
+)
+
+CHILD = r"""
+import json, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from hnormalise_spark import get_spark, sinks
+from hnormalise_spark.pipeline import normalise_tokens
+
+cpus, tag, corpus = {cpus!r}, {tag!r}, {corpus!r}
+extra = {extra!r}
+spark = get_spark(master=f"local[{{cpus}}]", app_name=f"diag-{{tag}}",
+                  extra_conf=extra or None)
+jmx = spark._jvm.java.lang.management.ManagementFactory
+osb = jmx.getOperatingSystemMXBean()
+
+def gc_state():
+    ms = n = 0
+    it = jmx.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        b = it.next()
+        ms += max(b.getCollectionTime(), 0)
+        n += max(b.getCollectionCount(), 0)
+    return ms, n
+
+spark.range(10).count()
+warm = f"/tmp/hnorm_diag_warm_{{tag}}"
+shutil.rmtree(warm, ignore_errors=True)
+sinks.run_batch(spark, normalise_tokens(spark.read.parquet(corpus).limit(20000)),
+                warm, json_line=True)
+
+out = f"/tmp/hnorm_diag_out_{{tag}}"
+shutil.rmtree(out, ignore_errors=True)
+gc0, cpu0 = gc_state(), osb.getProcessCpuTime()
+t0 = time.perf_counter()
+sinks.run_batch(spark, normalise_tokens(spark.read.parquet(corpus)), out,
+                json_line=True)
+wall = time.perf_counter() - t0
+gc1, cpu1 = gc_state(), osb.getProcessCpuTime()
+print("DIAG " + json.dumps({{
+    "wall_sec": round(wall, 2),
+    "cpu_sec": round((cpu1 - cpu0) / 1e9, 2),
+    "gc_sec": round((gc1[0] - gc0[0]) / 1e3, 2),
+    "gc_count": gc1[1] - gc0[1],
+}}), flush=True)
+"""
+
+LEGS = [
+    ("8-base", 8, {}),
+    ("32-base", 32, {}),
+    ("32-parallelgc", 32, {
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    }),
+    ("32-bigyoung", 32, {
+        "spark.driver.extraJavaOptions": "-XX:G1NewSizePercent=40 -XX:G1MaxNewSizePercent=60",
+    }),
+    ("32-heap16", 32, {"spark.driver.memory": "16g"}),
+]
+
+
+def ensure_corpus() -> str:
+    from hnormalise_spark import datagen
+
+    corpus = f"/tmp/hnorm_bench_corpus_v{datagen.DATAGEN_VERSION}_{N_LINES}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        from hnormalise_spark import get_spark
+
+        spark = get_spark(master="local[32]", app_name="diag-datagen")
+        datagen.write_corpus(spark, corpus, N_LINES, partitions=128)
+        spark.stop()
+    return corpus
+
+
+def run_leg(tag: str, cpus: int, extra: dict, corpus: str) -> dict:
+    script = CHILD.format(repo=REPO, cpus=cpus, tag=tag, corpus=corpus, extra=extra)
+    for attempt in range(3):
+        s0 = _cpu_sample()
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=3600,
+        )
+        steal = _steal_pct(s0, _cpu_sample())
+        diag = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("DIAG "):
+                diag = json.loads(line[5:])
+        if diag is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
+            raise RuntimeError(f"leg {tag} produced no DIAG line")
+        if steal <= STEAL_MAX:
+            break
+    diag.update(
+        leg=tag, cpus=cpus, steal_pct=steal,
+        lines_per_sec=round(N_LINES / diag["wall_sec"], 1),
+        cpu_utilization=round(diag["cpu_sec"] / diag["wall_sec"], 2),
+        gc_frac_of_cpu=round(diag["gc_sec"] / max(diag["cpu_sec"], 1e-9), 4),
+    )
+    print(json.dumps(diag), flush=True)
+    return diag
+
+
+def main() -> int:
+    corpus = ensure_corpus()
+    results = {tag: run_leg(tag, cpus, extra, corpus) for tag, cpus, extra in LEGS}
+    base8, base32 = results["8-base"], results["32-base"]
+    summary = {
+        "n_lines": N_LINES,
+        "eff_8_to_32_base": round(
+            base32["lines_per_sec"] / base8["lines_per_sec"] / 4, 3
+        ),
+        "best_32_variant": max(
+            (r for r in results.values() if r["cpus"] == 32),
+            key=lambda r: r["lines_per_sec"],
+        )["leg"],
+        "eff_8_to_32_best": round(
+            max(r["lines_per_sec"] for r in results.values() if r["cpus"] == 32)
+            / base8["lines_per_sec"] / 4, 3,
+        ),
+    }
+    print("SUMMARY " + json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""10× scale re-stamp (round-4 verdict item 8): run the flagship +
+exact_dedup + minhash_lsh legs at "sf1" — a deterministic 10× blow-up
+of the sf0.1 documents table — and record lines/s plus plan stability
+(same physical join/agg strategy, no new scale cliffs) for BASELINE.md.
+
+sf1 construction (no external data, fully deterministic): each sf0.1
+row is replicated 10× with doc_id remapped to doc_id + replica*10^7
+and a per-replica suffix token appended to the text, so the corpus
+keeps sf0.1's dup/near-dup STRUCTURE (each replica's injected dups
+still pair within the replica) instead of collapsing into 10-way
+exact duplicates, and per-row parse/fingerprint work is unchanged.
+Written once to /tmp/hnorm_sf1 (testdata is read-only).
+
+Usage: python scripts/sf1_stamp.py
+Prints one JSON line per (leg, sf) + a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import STEAL_MAX, _cpu_sample, _steal_pct, force  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/hnorm_sf1"
+LEGS = ["exact_dedup", "minhash_lsh", "training_pipeline"]
+REPLICAS = 10
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(SF1, "documents.parquet")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return
+    docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    reps = spark.range(REPLICAS).toDF("_r")
+    big = (
+        docs.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("_r")))
+            .alias("text"),
+            "lang",
+            "source",
+            F.length("text").alias("n_chars"),
+        )
+        .repartition(64, "doc_id")
+    )
+    big.write.mode("overwrite").parquet(out)
+
+
+def plan_shape(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "exch": plan.count("Exchange"),
+        "cartesian": plan.count("CartesianProduct"),
+    }
+
+
+def main() -> int:
+    from hnormalise_spark import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(master="local[32]", app_name="sf1-stamp")
+    spark.range(10).count()
+    build_sf1(spark)
+    n01 = spark.read.parquet(os.path.join(SF01, "documents.parquet")).count()
+    n1 = spark.read.parquet(os.path.join(SF1, "documents.parquet")).count()
+    print(json.dumps({"sf0.1_rows": n01, "sf1_rows": n1}), flush=True)
+
+    qs = entry.queries()
+    results = {}
+    for leg in LEGS:
+        row = {}
+        for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            df = qs[leg](spark, sf_dir)
+            force(df)  # warm: exclude plan-shape compile constant
+            s0 = _cpu_sample()
+            t0 = time.perf_counter()
+            force(qs[leg](spark, sf_dir))
+            wall = time.perf_counter() - t0
+            steal = _steal_pct(s0, _cpu_sample())
+            row[sf_name] = {
+                "wall_sec": round(wall, 2),
+                "steal_pct": steal,
+                "plan": plan_shape(qs[leg](spark, sf_dir)),
+            }
+            print(json.dumps({"leg": leg, "sf": sf_name, **row[sf_name]}), flush=True)
+        r = row["sf1"]["wall_sec"] / max(row["sf0.1"]["wall_sec"], 1e-9)
+        results[leg] = {
+            **row,
+            "wall_ratio_10x": round(r, 2),
+            "plan_stable": row["sf0.1"]["plan"] == row["sf1"]["plan"],
+        }
+    print("SUMMARY " + json.dumps({
+        leg: {
+            "wall_ratio_10x": v["wall_ratio_10x"],
+            "plan_stable": v["plan_stable"],
+        } for leg, v in results.items()
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
