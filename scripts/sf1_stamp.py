@@ -6,10 +6,17 @@ of the sf0.1 documents table — and record lines/s plus plan stability
 
 sf1 construction (no external data, fully deterministic): each sf0.1
 row is replicated 10× with doc_id remapped to doc_id + replica*10^7
-and a per-replica suffix token appended to the text, so the corpus
-keeps sf0.1's dup/near-dup STRUCTURE (each replica's injected dups
-still pair within the replica) instead of collapsing into 10-way
-exact duplicates, and per-row parse/fingerprint work is unchanged.
+and replica r's text passed through an ALPHABET ROTATION by r
+(``translate(text, a..z, rot_r(a..z))``). An injective character
+substitution preserves text length, word shape, and within-replica
+Jaccard EXACTLY — so each replica keeps sf0.1's dup/near-dup
+structure and identical per-row shingle/fingerprint work — while
+rewriting essentially every character shingle, so replicas of the
+same doc do NOT near-dup each other. (The first draft appended a
+tiny " rep<r>" suffix instead; that left the 10 replicas of every
+doc mutual near-duplicates, inflating true pairs 404× for 10× rows
+— a property of that corpus, not an operator cliff; the measurement
+is kept in BASELINE.md as the output-scaling datapoint.)
 Written once to /tmp/hnorm_sf1 (testdata is read-only).
 
 Usage: python scripts/sf1_stamp.py
@@ -42,13 +49,18 @@ def build_sf1(spark) -> None:
         return
     docs = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     reps = spark.range(REPLICAS).toDF("_r")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rotated = F.when(F.col("_r") == 0, F.col("text"))
+    for r in range(1, REPLICAS):
+        rot = alpha[r:] + alpha[:r]
+        rotated = rotated.when(
+            F.col("_r") == r, F.translate(F.col("text"), alpha, rot)
+        )
     big = (
         docs.crossJoin(F.broadcast(reps))
         .select(
             (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
-            F.when(F.col("_r") == 0, F.col("text"))
-            .otherwise(F.concat(F.col("text"), F.lit(" rep"), F.col("_r")))
-            .alias("text"),
+            rotated.alias("text"),
             "lang",
             "source",
             F.length("text").alias("n_chars"),
