@@ -1211,8 +1211,10 @@ _WITNESS_FIRST = [
     "bpe_train", "bpe_encode", "winnow_pairs", "bm25_indexed",
     "parse_slurm", "slurm_partition_stats", "slurm_cluster_report",
     "route_counts_salted", "grok_sshd", "grok_apache",
-    # new this round: streaming/batch parity witness
-    "stream_route_counts",
+    # new this round: streaming/batch parity witness, mergeable
+    # k-mins sketches, weighted / temperature sampling
+    "stream_route_counts", "sketch_distinct", "sketch_jaccard",
+    "weighted_sample", "temperature_mix",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",

@@ -763,6 +763,159 @@ def _oracle_sample_split() -> str:
 
 
 # ---------------------------------------------------------------------------
+# mergeable sketches (ops.sketches) + weighted / temperature sampling
+
+SKETCH_K = 128
+_SKETCH_SPAN = float(1 << 60)
+
+
+def _sketch_users(spark: SparkSession, sf: str):
+    """Shared k-mins sketch: distinct users per event type."""
+    from hnormalise_spark.ops import sketches as SK
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select("event_type", "user_id")
+    return SK.kmin_sketch(ev, ["event_type"], "user_id", k=SKETCH_K)
+
+
+def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable cardinality sketch: estimated distinct users per
+    event type from a k-mins bottom sketch (k=128, RSE ~ 8.8%),
+    published beside the exact count so the error is visible in the
+    gate itself. The sketch build is one posexplode + partial-min
+    aggregate (shuffle bounded by partitions x groups x k); at 100 TB
+    the per-day sketch (groups x k BIGINT rows) replaces re-scanning
+    history — see ops/sketches.py for the merge law and estimator."""
+    from hnormalise_spark.ops import sketches as SK
+
+    sk = _sketch_users(spark, sf)
+    est = SK.kmin_estimate(sk, ["event_type"], k=SKETCH_K)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_exact", "est_distinct_x1e3"
+    )
+
+
+def _oracle_sketch_cte() -> str:
+    return f"""
+    idx AS (SELECT unnest(range(0, {SKETCH_K})) AS i),
+    hv AS (SELECT event_type, i,
+             ('0x' || substr(md5(user_id::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events CROSS JOIN idx),
+    sk AS (SELECT event_type, i, MIN(h) AS min_hash FROM hv GROUP BY 1, 2)
+    """
+
+
+def _oracle_sketch_distinct() -> str:
+    numer = float(SKETCH_K * (1 << 60) * 1000)
+    return f"""
+    WITH {_oracle_sketch_cte()},
+    s AS (SELECT event_type, SUM(min_hash::HUGEINT) AS sm FROM sk GROUP BY 1),
+    e AS (SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+          FROM events GROUP BY 1)
+    SELECT event_type, n_exact,
+           (floor({numer!r} / sm::DOUBLE + 0.5) - 1000)::BIGINT AS est_distinct_x1e3
+    FROM s JOIN e USING (event_type)
+    """
+
+
+def q_sketch_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience-overlap matrix from the sketch alone: pairwise
+    Jaccard of per-event-type user sets via the k-mins match
+    fraction (P[min_a == min_b] = |A n B| / |A u B| exactly). The
+    join runs on groups x k sketch rows, never on events."""
+    from hnormalise_spark.ops import sketches as SK
+
+    return SK.kmin_jaccard(_sketch_users(spark, sf), "event_type", k=SKETCH_K)
+
+
+def _oracle_sketch_jaccard() -> str:
+    return f"""
+    WITH {_oracle_sketch_cte()}
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           SUM(CASE WHEN a.min_hash = b.min_hash THEN 1 ELSE 0 END)::BIGINT
+             AS n_match,
+           floor(SUM(CASE WHEN a.min_hash = b.min_hash THEN 1 ELSE 0 END)
+                 * 1000000.0 / {float(SKETCH_K)!r} + 0.5)::BIGINT AS jaccard_x1e6
+    FROM sk a JOIN sk b ON a.i = b.i AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """
+
+
+WSAMPLE_N = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis priorities on the salted key hash): the 100
+    documents drawn with probability proportional to length — the
+    quality/length-weighted corpus subsample every curation pipeline
+    needs, with hash_sample's re-runnability. Global top-n compiles
+    to TakeOrderedAndProject (no data shuffle)."""
+    from hnormalise_spark.ops import sampling as S
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = S.weighted_sample_topk(
+        docs, n=WSAMPLE_N, weight_col="n_chars", key_col="doc_id"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ln(('0x' || substr(md5(doc_id::VARCHAR || '|wsample'), 1, 15))::BIGINT
+                / {_SKETCH_SPAN!r}) / n_chars AS rk
+      FROM documents WHERE n_chars > 0
+      ORDER BY rk DESC, doc_id LIMIT {WSAMPLE_N})
+    """
+
+
+TMIX_ALPHA = 0.5
+TMIX_BUDGET = 0.5
+
+
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based language mixing (share ~ count^0.5,
+    renormalized, half the corpus as budget) — the standard
+    multilingual-LM upsampling curve, made deterministic via the
+    salted key-hash threshold. Two scans total: a tiny count-by-lang
+    (bounded collect, one row per language) then a shuffle-free
+    filter."""
+    from hnormalise_spark.ops import sampling as S
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = S.temperature_mix(
+        docs, group_col="lang", key_col="doc_id",
+        alpha=TMIX_ALPHA, budget_frac=TMIX_BUDGET,
+    )
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _oracle_temperature_mix() -> str:
+    return f"""
+    WITH c AS (SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+    w AS (SELECT lang, n, power(n, {TMIX_ALPHA!r}) AS wt FROM c),
+    t AS (SELECT SUM(wt) AS wsum, SUM(n) AS total FROM w),
+    r AS (SELECT lang,
+            CAST(least(1.0, (wt / wsum) * ({TMIX_BUDGET!r} * total) / n) * 1e9
+                 AS BIGINT) / 1e9 AS rate
+          FROM w, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|tmix'), 1, 15))::BIGINT
+          / {_SKETCH_SPAN!r} < r.rate
+    """
+
+
+# ---------------------------------------------------------------------------
 # time-series analytics (ops.timeseries)
 
 SESSION_GAP_S = 1800
@@ -2700,6 +2853,10 @@ def queries():
         "similarity_ann_multiprobe": q_similarity_ann_multiprobe,
         "similarity_ivf": q_similarity_ivf,
         "ann_recall": q_ann_recall,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_jaccard": q_sketch_jaccard,
+        "weighted_sample": q_weighted_sample,
+        "temperature_mix": q_temperature_mix,
         "embedding_neardup": q_embedding_neardup,
         "dedup_clusters": q_dedup_clusters,
         "sample_split": q_sample_split,
@@ -2762,6 +2919,10 @@ def oracle_sql():
         "similarity_ann_multiprobe": _oracle_similarity_ann_multiprobe(),
         "similarity_ivf": _oracle_similarity_ivf(),
         "ann_recall": _oracle_ann_recall(),
+        "sketch_distinct": _oracle_sketch_distinct(),
+        "sketch_jaccard": _oracle_sketch_jaccard(),
+        "weighted_sample": _oracle_weighted_sample(),
+        "temperature_mix": _oracle_temperature_mix(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "sample_split": _oracle_sample_split(),

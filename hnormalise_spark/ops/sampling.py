@@ -272,3 +272,117 @@ def budget_select_grouped(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis A-ES scheme: each row gets priority
+    ``u^(1/w)`` (equivalently rank key ``ln(u)/w``) with ``u`` the
+    salted key-hash uniform; the n largest priorities are exactly a
+    weight-proportional sample without replacement. Because u is a
+    pure function of the key (no RNG state), the sample is
+    re-runnable, engine-portable, and partition-invariant — the same
+    properties hash_sample gives the unweighted case, which A-ES
+    cannot get from ``df.sample``-style per-partition RNGs.
+
+    Rows with weight <= 0 are excluded (they have probability 0).
+    Ties on the rank key are broken by key to pin the boundary row.
+
+    Scale shape: global top-n compiles to TakeOrderedAndProject
+    (per-partition heaps, no shuffle of the data, driver holds only
+    n rows); with ``group_cols`` it is one window rank per group —
+    a single hash-partitioned sort, the standard per-group top-k.
+    Use n << rows; for rate-shaped weighted THINNING at scale use a
+    threshold on the same rank key instead of a global n.
+    """
+    u = key_hash_unit(F.col(key_col), salt)
+    # ln(u)/w is monotone in u^(1/w); u in (0,1) so ln(u) < 0 and
+    # larger weight pulls the key toward 0 (higher rank)
+    rk = F.log(u) / F.col(weight_col).cast("double")
+    base = df.filter(F.col(weight_col) > 0).withColumn("_es_rank", rk)
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.desc("_es_rank"), F.asc(key_col)
+        )
+        return (
+            base.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_rn", "_es_rank")
+        )
+    return (
+        base.orderBy(F.desc("_es_rank"), F.asc(key_col))
+        .limit(n)
+        .drop("_es_rank")
+    )
+
+
+def temperature_mix_rates(
+    counts: dict[str, int], alpha: float, budget_frac: float
+) -> dict[str, float]:
+    """Per-group keep rates for temperature-based mixing: target
+    share of group g is ``count_g^alpha`` renormalized (alpha=1 →
+    natural proportions, alpha=0 → equal share per group, 0<alpha<1
+    → the multilingual-LM upsampling curve), scaled to a total
+    budget of ``budget_frac * N`` rows. Rates cap at 1.0 (a group
+    cannot yield more rows than it has; the shortfall is NOT
+    redistributed — deliberate, so each group's rate depends only on
+    the count vector and the formula stays one pass).
+
+    Pure driver-side arithmetic on the tiny count map (one value per
+    group — the same bounded-collect class as the budget-selection
+    histogram); rates are truncated to a 1e-9 grid so an independent
+    SQL engine computing the identical formula lands on the same
+    comparison constants.
+    """
+    total = float(sum(counts.values()))
+    weights = {g: float(c) ** alpha for g, c in counts.items()}
+    wsum = sum(weights.values())
+    budget = budget_frac * total
+    out = {}
+    for g, c in counts.items():
+        rate = min(1.0, (weights[g] / wsum) * budget / float(c))
+        out[g] = int(rate * 1e9) / 1e9
+    return out
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    budget_frac: float,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based source/language mixing: resample ``df`` so
+    group shares follow ``count^alpha`` (renormalized) within a total
+    budget of ``budget_frac * N`` rows — the standard recipe for
+    upweighting low-resource languages / sources in LLM training
+    mixes. Deterministic: group counts (one small aggregate, <=
+    n_groups rows collected) fix the per-group keep rates, then a
+    salted key-hash threshold picks the rows, so re-runs and
+    backfills select the identical subset.
+
+    Scale shape: pass 1 is a count-by-group (partial agg, tiny
+    result); pass 2 is a shuffle-free per-row filter. Nothing scales
+    with data size except the two scans."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count("*").alias("n")).collect()
+    }
+    rates = temperature_mix_rates(counts, alpha, budget_frac)
+    u = key_hash_unit(F.col(key_col), salt)
+    rate = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == F.lit(g)
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return df.filter(u < rate)

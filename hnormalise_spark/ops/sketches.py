@@ -1,0 +1,173 @@
+"""Deterministic mergeable cardinality / overlap sketches (k-mins).
+
+The bottom-k family (KMV, k-mins, HLL) is the standard answer to
+"distinct users per key over 100 TB, refreshed daily, without
+re-scanning history": a tiny per-group summary that (a) estimates
+cardinality with bounded relative error and (b) MERGES — the sketch
+of a union is an elementwise function of the parts' sketches, so
+per-shard / per-day / per-partition sketches combine associatively
+and raw data is touched exactly once.
+
+This module implements the k-mins variant because every step stays
+inside integer JVM expressions and is re-derivable by an independent
+SQL engine (the repo's DuckDB oracle gate):
+
+- Each value is pushed through ``k`` independent uniform hashes
+  (md5 of ``value || '|' || i``, first 60 bits, like every other
+  fingerprint in this repo — see ops/sampling.key_hash_unit).
+- Per group, keep the MIN of each of the k hash streams: a k-vector
+  of 60-bit integers. ``min`` is associative/commutative/idempotent,
+  hence mergeable and insensitive to partitioning, input order, and
+  duplicates (dedup is free — the same value always hashes the same).
+- Cardinality: for n distinct values, each scaled min is ~Beta(1, n),
+  E[u_min] = 1/(n+1), so the MLE over k independent minimums is
+  ``n_hat = k / sum(u_min_i) - 1`` with RSE ~ 1/sqrt(k).
+- Jaccard: P(min_a[i] == min_b[i]) = |A∩B| / |A∪B| EXACTLY (the
+  minimum over A∪B lands in both sketches iff its argmin element is
+  shared), so the match fraction estimates Jaccard — the same
+  identity MinHash dedup uses (ops/dedup.py), here applied to
+  GROUP-level set overlap (e.g. audience overlap between event
+  types) instead of document shingles.
+
+Scale shape: the build is one posexplode (rows × k, all map-side)
+into a (group, i) min-aggregate — partial min per partition bounds
+the shuffle at n_partitions × n_groups × k rows regardless of input
+size; the sketch itself is n_groups × k rows of BIGINT. Estimates
+and pairwise Jaccard run on the sketch only. The k md5 calls per row
+are the portability price of the oracle; a 100-TB deployment swaps
+``_value_hash`` for ``xxhash64(value, i)`` (one line, same
+estimator, no other change).
+
+All cross-row arithmetic is integer (BIGINT mins, DECIMAL(38,0)
+sums) so results are bit-identical under any partitioning; the one
+double division per estimate happens once per group on
+exactly-convertible operands (k * 2^60 * SCALE is a dyadic integer
+< 2^97 with a 53-bit mantissa; the sum converts to the nearest
+double identically in any IEEE-754 engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit hash span, shared with ops/sampling (15 hex digits of md5).
+_HASH_SPAN = 1 << 60
+
+# estimates are published as integers scaled by 1e3 (cardinality) /
+# 1e6 (Jaccard) so the oracle compares BIGINTs, never raw doubles
+EST_SCALE = 1000
+JACCARD_SCALE = 1_000_000
+
+
+def _value_hash(value: Column, i: Column) -> Column:
+    """60-bit uniform hash #i of ``value``: first 15 hex digits of
+    md5(value || '|' || i) as a non-negative long. Same construction
+    as sampling.key_hash_unit so the DuckDB oracle reproduces it
+    bit-for-bit."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(value.cast("string"), F.lit("|"), i.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmin_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 128,
+) -> DataFrame:
+    """Build per-group k-mins sketches: one row per (group, i) with
+    the minimum of hash stream i over the group's values.
+
+    Returned shape: group_cols + (i int, min_hash long) — the "rows"
+    representation rather than an array column, because it is the
+    natural input to the min-merge (union + re-min), joins, and the
+    oracle, and Spark's partial aggregation already compacts it
+    map-side.
+    """
+    if k < 8:
+        raise ValueError(f"k must be >= 8 for a usable estimate, got {k}")
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: _value_hash(F.col(value_col), i),
+    )
+    exploded = df.select(*group_cols, F.posexplode(hashes).alias("i", "hv"))
+    return exploded.groupBy(*group_cols, "i").agg(F.min("hv").alias("min_hash"))
+
+
+def kmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same k: the sketch of the union
+    of the underlying value sets. Pure union + re-min — associative,
+    commutative, idempotent, so daily/shard sketches fold in any
+    order. Columns must match (group_cols + i + min_hash)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("i", "min_hash")]
+    return out.groupBy(*group_cols, "i").agg(F.min("min_hash").alias("min_hash"))
+
+
+def kmin_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per group from a k-mins sketch:
+    ``n_hat = k / sum(min_hash_i / 2^60) - 1``, published as the
+    BIGINT ``est_distinct_x1e3`` (n_hat * 1000, half-up).
+
+    The sum of the k mins is exact DECIMAL(38,0) (longs up to 2^60
+    would overflow a BIGINT sum at k >= 16); the single double
+    division uses the dyadic constant k * 2^60 * 1000 (exact in a
+    double for any k < 2^43) so the result is engine-portable.
+    """
+    numer = float(k * _HASH_SPAN * EST_SCALE)
+    return (
+        sketch.groupBy(*group_cols)
+        .agg(F.sum(F.col("min_hash").cast("decimal(38,0)")).alias("_sum"))
+        .select(
+            *group_cols,
+            (
+                F.floor(F.lit(numer) / F.col("_sum").cast("double") + F.lit(0.5))
+                - F.lit(EST_SCALE)
+            )
+            .cast("long")
+            .alias("est_distinct_x1e3"),
+        )
+    )
+
+
+def kmin_jaccard(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Pairwise Jaccard of the underlying value sets for every
+    unordered group pair, from the sketch alone: the fraction of hash
+    streams whose minimum agrees. Output: (group_a, group_b,
+    n_match, jaccard_x1e6) with group_a < group_b.
+
+    Scale shape: the join runs on sketches (n_groups × k rows), not
+    data; for g groups it is g(g-1)/2 × k comparisons via a
+    broadcast-sized equi-join on i — audience-overlap matrices over
+    billions of events cost seconds once the sketches exist.
+    """
+    a = sketch.select(
+        F.col(group_col).alias("group_a"), "i", F.col("min_hash").alias("_ma")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("group_b"), "i", F.col("min_hash").alias("_mb")
+    )
+    pairs = a.join(b, on="i").filter(F.col("group_a") < F.col("group_b"))
+    return (
+        pairs.groupBy("group_a", "group_b")
+        .agg(
+            F.sum((F.col("_ma") == F.col("_mb")).cast("long")).alias("n_match")
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_match",
+            F.floor(F.col("n_match") * F.lit(float(JACCARD_SCALE)) / F.lit(float(k)) + F.lit(0.5))
+            .cast("long")
+            .alias("jaccard_x1e6"),
+        )
+    )
