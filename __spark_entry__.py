@@ -1214,7 +1214,7 @@ _WITNESS_FIRST = [
     # new this round: streaming/batch parity witness, mergeable
     # k-mins sketches, weighted / temperature sampling
     "stream_route_counts", "sketch_distinct", "sketch_jaccard",
-    "weighted_sample", "temperature_mix",
+    "cm_heavy_hitters", "weighted_sample", "temperature_mix",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",

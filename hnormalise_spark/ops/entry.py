@@ -878,6 +878,60 @@ def _oracle_weighted_sample() -> str:
     """
 
 
+CM_WIDTH, CM_DEPTH, CM_TOPK = 1024, 4, 20
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch, probed at the exact top-20 terms:
+    (term, n_true, n_est) with the CM guarantee n_est >= n_true
+    visible in the gate itself. The sketch is depth x width counters
+    (mergeable by elementwise sum — per-shard sketches add up), so
+    heavy-hitter monitoring at 100 TB carries 4096 longs per stream
+    instead of a vocabulary-sized exact groupBy; the probe join is
+    broadcast-sized."""
+    from hnormalise_spark.ops import sketches as SK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    )
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sk = SK.cm_sketch(toks, "term", width=CM_WIDTH, depth=CM_DEPTH)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("term"))
+        .limit(CM_TOPK)
+    )
+    return SK.cm_lookup(sk, top, "term", width=CM_WIDTH, depth=CM_DEPTH).select(
+        "term", "n_true", "n_est"
+    )
+
+
+def _oracle_cm_heavy_hitters() -> str:
+    return f"""
+    WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+                  FROM documents),
+    tot AS (SELECT term, count(*)::BIGINT AS n_true FROM toks GROUP BY 1),
+    top AS (SELECT term, n_true FROM tot
+            ORDER BY n_true DESC, term LIMIT {CM_TOPK}),
+    ds AS (SELECT unnest(range(0, {CM_DEPTH})) AS d),
+    cells AS (SELECT d,
+                ('0x' || substr(md5(term || '|cm' || d::VARCHAR), 1, 15))::BIGINT
+                  % {CM_WIDTH} AS idx,
+                count(*)::BIGINT AS cnt
+              FROM toks CROSS JOIN ds GROUP BY 1, 2),
+    probe AS (SELECT term, n_true, d,
+                ('0x' || substr(md5(term || '|cm' || d::VARCHAR), 1, 15))::BIGINT
+                  % {CM_WIDTH} AS idx
+              FROM top CROSS JOIN ds)
+    SELECT p.term, p.n_true, MIN(COALESCE(c.cnt, 0))::BIGINT AS n_est
+    FROM probe p LEFT JOIN cells c USING (d, idx)
+    GROUP BY 1, 2
+    """
+
+
 TMIX_ALPHA = 0.5
 TMIX_BUDGET = 0.5
 
@@ -2855,6 +2909,7 @@ def queries():
         "ann_recall": q_ann_recall,
         "sketch_distinct": q_sketch_distinct,
         "sketch_jaccard": q_sketch_jaccard,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "weighted_sample": q_weighted_sample,
         "temperature_mix": q_temperature_mix,
         "embedding_neardup": q_embedding_neardup,
@@ -2921,6 +2976,7 @@ def oracle_sql():
         "ann_recall": _oracle_ann_recall(),
         "sketch_distinct": _oracle_sketch_distinct(),
         "sketch_jaccard": _oracle_sketch_jaccard(),
+        "cm_heavy_hitters": _oracle_cm_heavy_hitters(),
         "weighted_sample": _oracle_weighted_sample(),
         "temperature_mix": _oracle_temperature_mix(),
         "embedding_neardup": _oracle_embedding_neardup(),

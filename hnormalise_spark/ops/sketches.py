@@ -171,3 +171,94 @@ def kmin_jaccard(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
             .alias("jaccard_x1e6"),
         )
     )
+
+
+# --- count-min: mergeable frequency sketch ---------------------------------
+
+
+def _cm_idx(value: Column, d: Column, width: int) -> Column:
+    """Row index of ``value`` in count-min row d: 60-bit md5 hash of
+    ``value || '|cm' || d`` mod width (independent per d via the salt,
+    same construction the DuckDB oracle replays)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(value.cast("string"), F.lit("|cm"), d.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Count-min frequency sketch over one column: ``depth``
+    independent hash rows of ``width`` counters; est(v) = min over
+    rows of the counter v hashes into. Guarantees (Cormode &
+    Muthukrishnan '05): NEVER an underestimate, and the overestimate
+    is <= e/width * N with probability >= 1 - e^-depth — frequency
+    answers over unbounded vocabularies in depth x width integers.
+
+    Mergeable by elementwise counter SUM (``cm_merge``): per-shard /
+    per-day sketches add up to the corpus sketch, the same
+    one-touch-per-row property as the k-mins sketch, so heavy-hitter
+    monitoring at 100 TB keeps depth x width longs per stream, not a
+    vocabulary-sized state.
+
+    Returned shape: (d int, idx long, cnt long) — only touched cells
+    (absent cell = 0); the build is one posexplode over the depth
+    hashes into a partial-count aggregate (shuffle bounded by
+    partitions x depth x width)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1; got {width}x{depth}")
+    cells = df.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: _cm_idx(F.col(value_col), d, width),
+            )
+        ).alias("d", "idx")
+    )
+    return cells.groupBy("d", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same width/depth:
+    elementwise counter sum — the sketch of the concatenated
+    streams."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``probes``: adds
+    ``n_est`` = min over the depth counters (missing cell = 0).
+    The probe side is expected to be small (heavy-hitter candidates,
+    a watchlist); the join is a broadcast-sized equi-join on (d, idx)
+    against the depth x width sketch."""
+    pr = probes.select(
+        "*",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: _cm_idx(F.col(value_col), d, width),
+            )
+        ).alias("d", "idx"),
+    )
+    keep = [c for c in probes.columns]
+    return (
+        pr.join(sketch, on=["d", "idx"], how="left")
+        .groupBy(*keep)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("n_est"))
+    )

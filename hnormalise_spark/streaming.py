@@ -619,3 +619,66 @@ def failure_rate_alerts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_kmin_sketch(
+    spark: SparkSession,
+    in_dir: str,
+    sketch_path: str,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    max_files: int = 1,
+    snapshot_prefix: str = "sketch",
+    value_type: str = "long",
+) -> StreamingQuery:
+    """Streaming cardinality sketching over the durable snapshot
+    table: each micro-batch computes its own k-mins partial sketch
+    (ops/sketches.kmin_sketch) and APPENDS it as one committed
+    snapshot — no read-modify-write, no state store. The merge law
+    (min is associative/commutative/idempotent) moves all merging to
+    read time: ``read_kmin_sketch`` unions the snapshots and re-mins.
+
+    Why this shape scales: the per-batch write is groups x k BIGINT
+    rows regardless of batch volume; concurrent writers and replays
+    are safe (snapshot ids derive from the checkpoint's batch_id, so
+    ``write_snapshot`` of a replayed batch no-ops, and even a
+    DOUBLE-counted batch would be absorbed by min's idempotence —
+    the sketch is the rare state whose merge tolerates both at-least-
+    and at-most-once delivery); history stays queryable per snapshot
+    (distinct-users-as-of-batch-N) and ``table.compact`` can fold old
+    snapshots into one without changing any read.
+    """
+    stream = (
+        spark.readStream.schema(f"{group_col} string, {value_col} {value_type}")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from hnormalise_spark import table as T
+        from hnormalise_spark.ops.sketches import kmin_sketch
+
+        part = kmin_sketch(batch, [group_col], value_col, k=k)
+        T.write_snapshot(part, sketch_path, f"{snapshot_prefix}-b{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(sketch_path, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_kmin_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Resolve the merged k-mins sketch from all committed partial
+    snapshots: union + per-(group, i) re-min — by the merge law this
+    EQUALS the batch sketch of everything ever streamed. One
+    broadcast-sized aggregate over groups x k x snapshots rows."""
+    from hnormalise_spark import table as T
+
+    parts = T.read_committed(spark, sketch_path).drop("snapshot_id")
+    group_cols = [c for c in parts.columns if c not in ("i", "min_hash")]
+    return parts.groupBy(*group_cols, "i").agg(
+        F.min("min_hash").alias("min_hash")
+    )

@@ -105,3 +105,61 @@ def test_sketch_plan_has_partial_aggregation(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("HashAggregate") == 2, plan
+
+
+# --- count-min --------------------------------------------------------------
+
+
+def _freq_df(spark, freqs: dict[str, int], slices=4):
+    rows = [(t,) for t, n in freqs.items() for _ in range(n)]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), "term string"
+    )
+
+
+def test_cm_never_underestimates(spark):
+    freqs = {f"w{j}": 1 + (j % 17) for j in range(400)}
+    df = _freq_df(spark, freqs)
+    sk = SK.cm_sketch(df, "term", width=256, depth=4)
+    probes = spark.createDataFrame([(t, n) for t, n in freqs.items()],
+                                   "term string, n_true long")
+    got = SK.cm_lookup(sk, probes, "term", width=256, depth=4).collect()
+    assert len(got) == 400
+    for r in got:
+        assert r["n_est"] >= r["n_true"], (r["term"], r["n_est"], r["n_true"])
+
+
+def test_cm_error_bound(spark):
+    # CM guarantee: est <= true + eps*N with prob >= 1 - e^-depth,
+    # eps = e/width. Deterministic data -> fixed assertion; allow the
+    # full bound rather than the expectation.
+    freqs = {f"w{j}": 1 + (j % 17) for j in range(400)}
+    n_total = sum(freqs.values())
+    width, depth = 256, 4
+    df = _freq_df(spark, freqs)
+    sk = SK.cm_sketch(df, "term", width=width, depth=depth)
+    probes = spark.createDataFrame([(t, n) for t, n in freqs.items()],
+                                   "term string, n_true long")
+    got = SK.cm_lookup(sk, probes, "term", width=width, depth=depth).collect()
+    bound = math.e / width * n_total
+    bad = [r for r in got if r["n_est"] - r["n_true"] > bound]
+    # e^-4 ~ 1.8% of probes may exceed; give deterministic headroom
+    assert len(bad) <= max(3, int(0.05 * len(got))), len(bad)
+
+
+def test_cm_merge_equals_whole(spark):
+    a = _freq_df(spark, {"x": 5, "y": 2})
+    b = _freq_df(spark, {"x": 3, "z": 7})
+    merged = SK.cm_merge(
+        SK.cm_sketch(a, "term", width=64, depth=3),
+        SK.cm_sketch(b, "term", width=64, depth=3),
+    )
+    whole = SK.cm_sketch(a.unionByName(b), "term", width=64, depth=3)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_cm_validation():
+    with pytest.raises(ValueError):
+        SK.cm_sketch(None, "term", width=1, depth=0)
