@@ -2041,6 +2041,96 @@ def _oracle_dup_spans() -> str:
     """
 
 
+def _oracle_dupspan_hits() -> str:
+    """Shared CTE prefix: 0-based duplicate-hit positions per doc."""
+    k = DUP_SPAN_K
+    return f"""
+    base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+             FROM documents
+             WHERE text IS NOT NULL AND trim(text) <> ''),
+    gr AS (SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+{k - 1}], ' ') AS gg
+           FROM base, UNNEST(range(1, len(w) - {k - 1} + 1)) AS u(i)
+           WHERE len(w) >= {k}),
+    gd AS (SELECT gg, (count(DISTINCT doc_id) >= 2) AS dup FROM gr GROUP BY 1),
+    hits AS (SELECT doc_id, p FROM gr JOIN gd USING (gg) WHERE dup)
+    """
+
+
+def q_dup_span_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Maximal cross-doc duplicated spans as half-open token
+    intervals — ExactSubstr's actionable output (dup_spans is the
+    per-doc rollup of the same verdicts; this emits the intervals a
+    cleaning pass cuts). One windowed gaps-and-islands pass after the
+    gram verdict; no interval self-join."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.duplicate_span_extract(docs, k=DUP_SPAN_K)
+
+
+def _oracle_dup_span_extract() -> str:
+    k = DUP_SPAN_K
+    return f"""
+    WITH {_oracle_dupspan_hits()},
+    isl AS (SELECT doc_id, p,
+              CASE WHEN max(p + {k}) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR p > max(p + {k}) OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS new_isl
+            FROM hits),
+    isl2 AS (SELECT doc_id, p,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS island
+             FROM isl)
+    SELECT doc_id::BIGINT AS doc_id, MIN(p)::BIGINT AS span_start,
+           (MAX(p) + {k})::BIGINT AS span_end
+    FROM isl2 GROUP BY doc_id, island
+    """
+
+
+def q_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaning pass: every document's text rebuilt with the
+    cross-doc duplicated spans cut out (Lee et al. 2022's dedup
+    ACTION), plus kept/removed token accounting. Equi-joins only —
+    covered positions are exploded from the hits, never an interval
+    join against the corpus."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.remove_duplicate_spans(docs, k=DUP_SPAN_K)
+
+
+def _oracle_dup_span_removal() -> str:
+    k = DUP_SPAN_K
+    return f"""
+    WITH {_oracle_dupspan_hits()},
+    pos AS (SELECT doc_id, i - 1 AS p, w[i] AS tok
+            FROM base, UNNEST(range(1, len(w) + 1)) AS u(i)),
+    js AS (SELECT unnest(range(0, {k})) AS j),
+    covered AS (SELECT DISTINCT doc_id, p + j AS q FROM hits CROSS JOIN js),
+    kept AS (SELECT pos.doc_id, pos.p, pos.tok
+             FROM pos LEFT JOIN covered
+               ON pos.doc_id = covered.doc_id AND pos.p = covered.q
+             WHERE covered.q IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY 1)
+    SELECT b.doc_id::BIGINT AS doc_id,
+           COALESCE(reb.clean_text, '') AS clean_text,
+           len(b.w)::BIGINT AS n_tokens,
+           (len(b.w) - COALESCE(reb.n_kept, 0))::BIGINT AS n_removed
+    FROM base b LEFT JOIN reb USING (doc_id)
+    """
+
+
 def q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-gate funnel: attribute every rejected doc to the FIRST
     failed gate, roll up doc and token mass per stage. One scan + one
@@ -2934,6 +3024,8 @@ def queries():
         "lm_bigram": q_lm_bigram,
         "repetition": q_repetition,
         "dup_spans": q_dup_spans,
+        "dup_span_extract": q_dup_span_extract,
+        "dup_span_removal": q_dup_span_removal,
         "budget_select": q_budget_select,
         "budget_select_grouped": q_budget_select_grouped,
         "filter_funnel": q_filter_funnel,
@@ -2997,6 +3089,8 @@ def oracle_sql():
         "lm_bigram": _oracle_lm_bigram(),
         "repetition": _oracle_repetition(),
         "dup_spans": _oracle_dup_spans(),
+        "dup_span_extract": _oracle_dup_span_extract(),
+        "dup_span_removal": _oracle_dup_span_removal(),
         "tfidf_topk": _oracle_tfidf_topk(),
         "quality_gated_topk": _oracle_quality_gated_topk(),
         "budget_select": _oracle_budget_select(),
