@@ -1546,6 +1546,76 @@ def _oracle_decontaminate() -> str:
     """
 
 
+BLOOM_BITS = 8192
+BLOOM_K = 4
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination — the constant-size scale path of
+    `decontaminate`: the eval set's 8-gram hashes compress to an 8192-
+    bit mergeable bitset (256 longs, INDEPENDENT of eval-set size),
+    and every document is probed by a pure row-local expression over
+    the literal bits — the corpus is never shuffled OR joined, so at
+    100 TB the pass is scan-speed even against a blocklist too big to
+    broadcast exactly. Emits the exact verdict beside the bloom one so
+    the (deterministic) false positives are visible: bloom_hit >=
+    exact_hit row-wise, never the reverse."""
+    from hnormalise_spark.ops import decontam as D
+    from hnormalise_spark.ops import sketches as SK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    sketch = SK.bloom_build(
+        D.eval_ngram_hashes(ev, "text", DECON_N), "gram", BLOOM_BITS, BLOOM_K
+    )
+    bits = SK.bloom_bits_array(sketch, BLOOM_BITS)
+    exact = D.decontaminate(docs, D.eval_ngram_hashes(ev, "text", DECON_N), n=DECON_N)
+    grams = D.word_ngram_hashes(F.col("text"), DECON_N)
+    return exact.select(
+        "doc_id",
+        F.coalesce(
+            F.exists(
+                grams, lambda g: SK.bloom_contains(bits, g, BLOOM_BITS, BLOOM_K)
+            ).cast("int"),
+            F.lit(0),
+        ).alias("bloom_hit"),
+        F.col("contaminated").cast("int").alias("exact_hit"),
+    )
+
+
+def _oracle_bloom_decontaminate() -> str:
+    n, m, k = DECON_N, BLOOM_BITS, BLOOM_K
+    return f"""
+    WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                   FROM documents),
+    dgrams AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g
+               FROM words, UNNEST(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)),
+    ev AS (SELECT DISTINCT g FROM dgrams WHERE doc_id % 37 = 0),
+    js AS (SELECT unnest(range(0, {k})) AS j),
+    setpos AS (SELECT DISTINCT
+                 ('0x' || substr(md5(g || '|' || j), 1, 15))::BIGINT % {m} AS p
+               FROM ev CROSS JOIN js),
+    probe AS (SELECT d.doc_id, d.g, j.j,
+                ('0x' || substr(md5(d.g || '|' || j.j), 1, 15))::BIGINT % {m} AS p
+              FROM dgrams d CROSS JOIN js j),
+    gramhit AS (SELECT doc_id, g, bool_and(s.p IS NOT NULL) AS hit
+                FROM probe LEFT JOIN setpos s USING (p) GROUP BY 1, 2),
+    dochit AS (SELECT doc_id, max(hit::INT) AS bloom_hit FROM gramhit GROUP BY 1),
+    exact AS (SELECT d.doc_id, max((e.g IS NOT NULL)::INT) AS exact_hit
+              FROM dgrams d LEFT JOIN ev e ON d.g = e.g GROUP BY 1)
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(h.bloom_hit, 0)::INT AS bloom_hit,
+           coalesce(x.exact_hit, 0)::INT AS exact_hit
+    FROM documents d
+    LEFT JOIN dochit h USING (doc_id)
+    LEFT JOIN exact x USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # PII redaction (ops.textops.redact_pii)
 
@@ -3010,6 +3080,7 @@ def queries():
         "training_pipeline": q_training_pipeline,
         "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
@@ -3079,6 +3150,7 @@ def oracle_sql():
         "training_pipeline": _oracle_training_pipeline(),
         "curation_pipeline": _oracle_curation_pipeline(),
         "decontaminate": _oracle_decontaminate(),
+        "bloom_decontaminate": _oracle_bloom_decontaminate(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
         "mix_sources": _oracle_mix_sources(),

@@ -262,3 +262,109 @@ def cm_lookup(
         .groupBy(*keep)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable bitset membership sketch
+#
+# The scale-path complement to ops/decontam.py's exact broadcast set:
+# an eval/blocklist of ANY cardinality compresses to a fixed n_bits
+# bitset (error = a bounded false-positive rate, never a false
+# negative), the bitset is mergeable by elementwise OR (per-shard /
+# per-day builds combine associatively), and the probe side is a pure
+# row-local expression over the broadcast bits — the corpus is never
+# shuffled and never joined. FP rate ~= (1 - e^(-k*n/m))^k; at the
+# default m=8192, k=4 a 500-gram eval set probes at ~2e-3.
+
+BLOOM_WORD = 32  # bits per stored word: shifts stay < 32 so every
+# intermediate is a positive int32 — no signed-shift edge cases in
+# either Spark or the DuckDB oracle
+
+
+def _bloom_positions(value: Column, n_bits: int, n_hashes: int) -> Column:
+    """Array of the ``n_hashes`` bit positions of ``value``: 60-bit
+    md5 streams (same construction as the k-mins/CM hashes) mod
+    ``n_bits``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: _value_hash(value, i) % n_bits,
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 8192,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[value_col]`` as (word int,
+    bits long) rows — only words with at least one set bit appear,
+    so the sketch is at most ``n_bits / 32`` rows regardless of
+    input size. Build shape: values explode to n_hashes positions,
+    one distinct + one 32-way bit_or aggregate; dedup is free (equal
+    values set equal bits).
+
+    Merge law: union the row sets and ``bit_or`` per word
+    (``bloom_merge``) — the filter of the concatenated inputs.
+    """
+    if n_bits % BLOOM_WORD != 0:
+        raise ValueError(f"n_bits must be a multiple of {BLOOM_WORD}")
+    pos = df.select(
+        F.explode(
+            _bloom_positions(F.col(value_col), n_bits, n_hashes)
+        ).alias("p")
+    ).distinct()
+    return (
+        pos.select(
+            (F.col("p") / BLOOM_WORD).cast("int").alias("word"),
+            # 2^(p % 32) is exact in double for shifts < 32 (Python-API
+            # shiftleft only takes a literal shift count)
+            F.pow(F.lit(2.0), F.col("p") % BLOOM_WORD).cast("long").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise-OR merge of same-shape Bloom filters."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_bits_array(sketch: DataFrame, n_bits: int = 8192) -> list[int]:
+    """Collect a built sketch into a dense Python word list (index =
+    word, value = 32-bit mask) for embedding as a literal in a probe
+    expression. BOUNDED driver collect: at most n_bits/32 rows
+    (256 longs at the default), independent of what the filter was
+    built over — that independence is the whole point of probing via
+    a Bloom filter instead of collecting the underlying set."""
+    n_words = n_bits // BLOOM_WORD
+    dense = [0] * n_words
+    for r in sketch.collect():
+        dense[r["word"]] = int(r["bits"])
+    return dense
+
+
+def bloom_contains(
+    bits: list[int],
+    value: Column,
+    n_bits: int = 8192,
+    n_hashes: int = 4,
+) -> Column:
+    """Row-local membership test against a collected bits list: true
+    iff every hash position of ``value`` is set. No join, no shuffle
+    — the bits ride into the task as a literal array (Spark
+    broadcasts task binaries once per executor). False positives
+    possible, false negatives not."""
+    arr = F.array(*[F.lit(int(b)) for b in bits])
+    return F.forall(
+        _bloom_positions(value, n_bits, n_hashes),
+        lambda p: (
+            F.element_at(arr, (p / BLOOM_WORD).cast("int") + 1)
+            .bitwiseAND(F.pow(F.lit(2.0), p % BLOOM_WORD).cast("long"))
+            != 0
+        ),
+    )
