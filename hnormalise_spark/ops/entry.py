@@ -1549,6 +1549,46 @@ def _oracle_decontaminate() -> str:
 BLOOM_BITS = 8192
 BLOOM_K = 4
 
+QS_BUCKETS = 512  # hashing-trick weight slots for the linear scorer
+
+
+def q_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashing-trick linear quality gate over
+    documents: token → weight slot → in-row integer score fold. No
+    explode, no join, no shuffle — the classifier pass is scan-speed
+    at 100 TB (see textops.quality_score_hashed)."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.quality_score_hashed(docs, n_buckets=QS_BUCKETS)
+
+
+def _oracle_quality_classifier() -> str:
+    d = QS_BUCKETS
+    return f"""
+    WITH toks AS (SELECT doc_id,
+                    CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+                  FROM documents),
+    tw AS (SELECT doc_id, u.tok,
+             ('0x' || substr(md5('qsw|' ||
+                (('0x' || substr(md5('qsb|' || u.tok), 1, 15))::BIGINT % {d})::VARCHAR
+             ), 1, 15))::BIGINT % 2001 - 1000 AS wt
+           FROM toks, UNNEST(w) AS u(tok)),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(wt)::BIGINT AS score_sum
+            FROM tw GROUP BY 1)
+    SELECT t.doc_id::BIGINT AS doc_id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.score_sum, 0)::BIGINT AS score_sum,
+           (coalesce(a.score_sum, 0) > 0)::INT AS keep
+    FROM toks t LEFT JOIN agg a USING (doc_id)
+    """
+
 
 def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter decontamination — the constant-size scale path of
@@ -3081,6 +3121,7 @@ def queries():
         "curation_pipeline": q_curation_pipeline,
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "quality_classifier": q_quality_classifier,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
@@ -3151,6 +3192,7 @@ def oracle_sql():
         "curation_pipeline": _oracle_curation_pipeline(),
         "decontaminate": _oracle_decontaminate(),
         "bloom_decontaminate": _oracle_bloom_decontaminate(),
+        "quality_classifier": _oracle_quality_classifier(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
         "mix_sources": _oracle_mix_sources(),

@@ -1253,3 +1253,56 @@ def remove_duplicate_spans(
             .alias("n_removed"),
         )
     )
+
+
+def _hash60(value: Column) -> Column:
+    """First 60 bits of md5(value) as a non-negative long — the repo's
+    shared fingerprint construction (ops/sketches._value_hash et al.),
+    here keyed by the caller's already-salted string."""
+    return F.conv(F.substring(F.md5(value), 1, 15), 16, 10).cast("long")
+
+
+def quality_score_hashed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    seed: str = "qs",
+) -> DataFrame:
+    """fastText-style hashing-trick linear text scorer: every token
+    hashes to one of ``n_buckets`` weight slots (collisions share a
+    weight — the memory/variance trade the hashing trick makes), the
+    document score is the sum of its tokens' slot weights, and the
+    keep decision is a sign test. The weight table here is
+    deterministic pseudo-weights derived from the seed (w in
+    [-1000, 1000] milli-units); a production deployment swaps in
+    trained weights, either inlined like this when the slot count is
+    small or broadcast-joined when it isn't — the scoring shape (and
+    this operator's plan) is identical.
+
+    Scale shape: score = one in-row array fold, no explode, no join,
+    no shuffle — classifier-gating 100 TB runs at scan speed. All
+    arithmetic integer, so results are exact and partition/order
+    invariant.
+
+    Returns (id_col, n_tokens, score_sum, keep).
+    """
+
+    def w(tok: Column) -> Column:
+        bucket = _hash60(F.concat(F.lit(seed + "b|"), tok)) % n_buckets
+        return (
+            _hash60(F.concat(F.lit(seed + "w|"), bucket.cast("string"))) % 2001
+            - 1000
+        )
+
+    blank = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    toks = F.when(blank, F.array().cast("array<string>")).otherwise(
+        _words(text_col)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
+        ).alias("score_sum"),
+    ).withColumn("keep", (F.col("score_sum") > 0).cast("int"))
