@@ -337,16 +337,23 @@ def minhash_lsh_dedup(
             .withColumn("_bands", band_keys(F.col("_sig"), bands, rows))
             .drop("_sig")
         )
-    # In-bucket verify: the shingle sets ride the band shuffle (each
-    # doc copied `bands` times) and Jaccard evaluates WHERE the join
-    # lands them — pairs never shuffle their arrays again. The
-    # alternative (band-join ids only, then re-attach shingles to the
-    # candidate pairs with two equi-joins) shuffles one array copy per
-    # PAIR; with big LSH buckets (boilerplate-heavy corpora — exactly
-    # where dedup matters) pair count >> doc count and that variant
-    # measured 6.7x slower at sf0.1 (417 s vs 62 s). Band-carry bounds
-    # array shuffle volume at `bands`x the corpus regardless of pair
-    # count.
+    return _band_carry_verify(base, threshold)
+
+
+def _band_carry_verify(base: DataFrame, threshold: float) -> DataFrame:
+    """LSH candidate verify over a prepared (_id, _sh, _bands) frame.
+
+    In-bucket verify: the shingle sets ride the band shuffle (each
+    doc copied `bands` times) and Jaccard evaluates WHERE the join
+    lands them — pairs never shuffle their arrays again. The
+    alternative (band-join ids only, then re-attach shingles to the
+    candidate pairs with two equi-joins) shuffles one array copy per
+    PAIR; with big LSH buckets (boilerplate-heavy corpora — exactly
+    where dedup matters) pair count >> doc count and that variant
+    measured 6.7x slower at sf0.1 (417 s vs 62 s). Band-carry bounds
+    array shuffle volume at `bands`x the corpus regardless of pair
+    count.
+    """
     banded = base.select("_id", "_sh", "_bands", F.explode("_bands").alias("_band"))
     a = banded.select(
         F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"),

@@ -3094,6 +3094,202 @@ def _oracle_distinct_counts() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# token-table operators (ops.tokenops): dedup and DSIR selection over
+# the canonical (doc_id, tokens:array<int>, n_tok, source) shape
+
+DSIR_D = 4096
+
+
+def _codepoint_tokens() -> "Column":
+    """documents.text → array<int> of codepoints: the deterministic
+    small-scale stand-in for the pre-tokenized input table (same
+    construction the oracle replays with a DuckDB list comprehension)."""
+    return F.when(
+        F.col("text").isNull() | (F.length("text") == 0),
+        F.array().cast("array<int>"),
+    ).otherwise(
+        F.expr(
+            "transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1)))"
+        ).cast("array<int>")
+    )
+
+
+def q_token_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact sequence dedup directly on token arrays (no detokenize):
+    md5 fingerprint of the comma-joined codes, keeper = min doc_id.
+    Injected copies (doc_id+200000) must land in their source's
+    group."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    dup = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    toked = docs.unionByName(dup).select(
+        "doc_id", _codepoint_tokens().alias("tokens")
+    )
+    out = TK.token_exact_dedup(toked)
+    return out.select(
+        "doc_id",
+        "fingerprint",
+        F.col("group_size").cast("long").alias("group_size"),
+        F.col("is_dup").cast("int").alias("is_dup"),
+    )
+
+
+def _oracle_token_dedup() -> str:
+    return """
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 13 = 0),
+    tok AS (SELECT doc_id,
+              CASE WHEN text IS NULL OR length(text) = 0 THEN ''
+                   ELSE array_to_string([ascii(c) FOR c IN split(text, '')], ',')
+              END AS ts
+            FROM all_docs)
+    SELECT doc_id, md5(ts) AS fingerprint,
+           count(*) OVER (PARTITION BY md5(ts))::BIGINT AS group_size,
+           (doc_id != min(doc_id) OVER (PARTITION BY md5(ts)))::INT AS is_dup
+    FROM tok
+    """
+
+
+def q_token_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate sequences via token 8-gram MinHash+LSH — the
+    text near-dup path's twin over the pre-tokenized shape. Injected
+    near-dups (a short appended tail) must pair with their source."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    mut = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz xx cc")).alias("text"),
+    )
+    toked = docs.unionByName(mut).select(
+        "doc_id", _codepoint_tokens().alias("tokens")
+    )
+    pairs = TK.token_minhash_dedup(toked, n=8, k=16, bands=4, threshold=0.5)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.floor(F.col("jaccard") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("jacc_x1e6"),
+    )
+
+
+def _oracle_token_neardup() -> str:
+    from hnormalise_spark.ops.dedup import MINHASH_P, minhash_params
+
+    k, bands, rows, n = 16, 4, 4, 8
+    params = minhash_params(k)
+    hex7 = " + ".join(
+        f"{16 ** (6 - j)} * (strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1)"
+        for j in range(7)
+    )
+    sig = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a}::BIGINT * h + {b}) % {MINHASH_P})) AS g{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_list = ", ".join(
+        f"md5('b{b}:' || "
+        + " || '|' || ".join(f"g{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zz xx cc' FROM documents WHERE doc_id % 11 = 0),
+    tok AS (SELECT doc_id AS id,
+              CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                   ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+            FROM all_docs),
+    sh AS (SELECT id,
+             CASE WHEN len(codes) < {n} THEN [array_to_string(codes, ',')]
+                  ELSE list_distinct(list_transform(range(1, len(codes) - {n - 2}),
+                         i -> array_to_string(codes[i:i + {n - 1}], ','))) END AS s
+           FROM tok WHERE len(codes) > 0),
+    hv AS (SELECT id, s, list_transform(s, x -> {hex7}) AS hv FROM sh),
+    sig AS (SELECT id, s, {sig} FROM hv),
+    band AS (SELECT id, s, unnest([{band_list}]) AS bk FROM sig),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) AS la, len(b.s) AS lb
+              FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id)
+    SELECT id_a, id_b,
+           floor(inter / (la + lb - inter) * 1000000.0 + 0.5)::BIGINT AS jacc_x1e6
+    FROM pairs WHERE inter / (la + lb - inter) >= 0.5
+    """
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR hashed-n-gram importance scoring (Xie et al. 2023):
+    target = the English slice of the corpus, raw = everything; each
+    doc scores sum of per-feature log p_target/p_raw in micro-nats."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+        )
+    )
+    words = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.select("doc_id", words.alias("tokens"), "lang")
+    tgt = base.filter(F.col("lang") == "en")
+    return TK.dsir_score(base, tgt, n_buckets=DSIR_D).select(
+        "doc_id",
+        F.col("n_feat").cast("long").alias("n_feat"),
+        F.col("dsir_x1e6").cast("long").alias("dsir_x1e6"),
+    )
+
+
+def _oracle_dsir_select() -> str:
+    d = DSIR_D
+    return f"""
+    WITH docs AS (SELECT doc_id, lang,
+            CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+          FROM documents),
+    ne AS (SELECT * FROM docs WHERE len(w) > 0),
+    feat AS (
+      SELECT doc_id, lang, f FROM ne, UNNEST(w) AS t(f)
+      UNION ALL
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1]
+      FROM ne, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+    fb AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('dsf|' || f), 1, 15))::BIGINT % {d} AS b
+           FROM feat),
+    rc AS (SELECT b, count(*)::BIGINT AS cr FROM fb GROUP BY 1),
+    tc AS (SELECT b, count(*)::BIGINT AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM rc)::BIGINT AS R,
+                   (SELECT coalesce(sum(ct), 0) FROM tc)::BIGINT AS T),
+    wt AS (SELECT rc.b,
+             floor((ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (T + {d})::DOUBLE)
+                  - ln((rc.cr + 1)::DOUBLE / (R + {d})::DOUBLE)) * 1e6 + 0.5)::BIGINT AS wt
+           FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+    SELECT fb.doc_id::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_feat,
+           sum(wt.wt)::BIGINT AS dsir_x1e6
+    FROM fb JOIN wt USING (b)
+    GROUP BY 1
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -3122,6 +3318,9 @@ def queries():
         "decontaminate": q_decontaminate,
         "bloom_decontaminate": q_bloom_decontaminate,
         "quality_classifier": q_quality_classifier,
+        "token_dedup": q_token_dedup,
+        "token_neardup": q_token_neardup,
+        "dsir_select": q_dsir_select,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
@@ -3193,6 +3392,9 @@ def oracle_sql():
         "decontaminate": _oracle_decontaminate(),
         "bloom_decontaminate": _oracle_bloom_decontaminate(),
         "quality_classifier": _oracle_quality_classifier(),
+        "token_dedup": _oracle_token_dedup(),
+        "token_neardup": _oracle_token_neardup(),
+        "dsir_select": _oracle_dsir_select(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
         "mix_sources": _oracle_mix_sources(),

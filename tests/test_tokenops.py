@@ -1,0 +1,157 @@
+"""Token-table operators: exact/near dedup directly on
+(doc_id, tokens:array<int>) and DSIR hashed-feature importance
+scoring — pure-Python replicas, degenerate inputs, plan shapes."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from hnormalise_spark.ops import tokenops as TK
+
+D = 256  # small bucket count so collisions actually occur in-test
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def test_token_exact_dedup(spark):
+    rows = [
+        (1, [5, 6, 7]),
+        (2, [5, 6, 7]),        # dup of 1
+        (3, [5, 6, 70]),       # NOT a dup: "5,6,70" != "5,6,7"
+        (4, [56, 7]),          # NOT a dup: "56,7" != "5,6,7"
+        (5, []),
+        (6, []),               # dup of 5 (both empty)
+    ]
+    out = {
+        r["doc_id"]: (r["group_size"], r["keeper_id"], r["is_dup"])
+        for r in TK.token_exact_dedup(_df(spark, rows)).collect()
+    }
+    assert out[1] == (2, 1, False)
+    assert out[2] == (2, 1, True)
+    assert out[3] == (1, 3, False)
+    assert out[4] == (1, 4, False)
+    assert out[5] == (2, 5, False)
+    assert out[6] == (2, 5, True)
+
+
+def test_token_exact_dedup_single_shuffle(spark):
+    plan = (
+        TK.token_exact_dedup(_df(spark, [(1, [1, 2])]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# near dedup
+
+
+def test_token_minhash_finds_near_dups(spark):
+    seq = list(range(100, 180))
+    near = seq[:40] + [999] + seq[41:]       # one token swapped
+    far = list(range(5000, 5080))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in TK.token_minhash_dedup(
+            _df(spark, [(1, seq), (2, near), (3, far)]), threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_token_minhash_drops_empty(spark):
+    out = TK.token_minhash_dedup(
+        _df(spark, [(1, []), (2, None), (3, [1, 2, 3])])
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+
+
+def _feats(toks):
+    unis = [str(t) for t in toks]
+    bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return unis + bis
+
+
+def _bucket(f, d=D, seed="dsf"):
+    return int(hashlib.md5(f"{seed}|{f}".encode()).hexdigest()[:15], 16) % d
+
+
+def _py_dsir(docs, target_ids, d=D):
+    raw, tgt = {}, {}
+    for i, toks in docs.items():
+        for f in _feats(toks):
+            b = _bucket(f, d)
+            raw[b] = raw.get(b, 0) + 1
+            if i in target_ids:
+                tgt[b] = tgt.get(b, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    w = {
+        b: math.floor(
+            (math.log((tgt.get(b, 0) + 1) / (T + d))
+             - math.log((cr + 1) / (R + d))) * 1e6 + 0.5
+        )
+        for b, cr in raw.items()
+    }
+    return {
+        i: (len(_feats(toks)), sum(w[_bucket(f, d)] for f in _feats(toks)))
+        for i, toks in docs.items()
+        if toks
+    }
+
+
+def test_dsir_matches_python_replica(spark):
+    docs = {
+        1: [10, 11, 12, 10, 11],
+        2: [10, 11, 12],
+        3: [90, 91, 92, 93],
+        4: [10, 90, 11, 91],
+        5: [7],
+        6: [],
+    }
+    target_ids = {1, 2}
+    df = _df(spark, list(docs.items()))
+    tgt = df.filter(F.col("doc_id").isin(list(target_ids)))
+    got = {
+        r["doc_id"]: (r["n_feat"], r["dsir_x1e6"])
+        for r in TK.dsir_score(df, tgt, n_buckets=D).collect()
+    }
+    assert got == _py_dsir(docs, target_ids)
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    # doc 3 shares no features with the target; docs 1-2 ARE the target
+    docs = {1: [10, 11, 12], 2: [10, 11, 13], 3: [90, 91, 92]}
+    df = _df(spark, list(docs.items()))
+    tgt = df.filter(F.col("doc_id") < 3)
+    got = {r["doc_id"]: r["dsir_x1e6"] for r in TK.dsir_score(df, tgt, n_buckets=D).collect()}
+    assert got[1] > got[3] and got[2] > got[3]
+
+
+def test_dsir_plan_broadcasts_weights(spark):
+    df = _df(spark, [(1, [1, 2, 3]), (2, [4, 5])])
+    plan = (
+        TK.dsir_score(df, df, n_buckets=D)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
