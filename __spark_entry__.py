@@ -1217,6 +1217,7 @@ _WITNESS_FIRST = [
     "cm_heavy_hitters", "weighted_sample", "temperature_mix",
     "dup_span_extract", "dup_span_removal", "bloom_decontaminate",
     "quality_classifier", "token_dedup", "token_neardup", "dsir_select",
+    "dsir_curation",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",

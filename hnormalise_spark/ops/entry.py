@@ -3290,6 +3290,84 @@ def _oracle_dsir_select() -> str:
     """
 
 
+def q_dsir_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed selection flagship — the published DSIR recipe end to
+    end: score every doc against the English target distribution
+    (hashed n-gram log-ratio), quantize to deci-nat quality buckets,
+    and keep the best-scoring docs under a 40% token budget via the
+    scalable histogram-threshold cut (no global sort; the oracle
+    recomputes the naive global greedy prefix and must agree exactly).
+
+    n_tok falls out of the DSIR feature count for free
+    (n_feat = 2·n_tok − 1 for non-empty docs), so selection adds no
+    second corpus scan."""
+    import math
+
+    from hnormalise_spark.ops import sampling as S
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+        )
+    )
+    words = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.select("doc_id", words.alias("tokens"), "lang")
+    scored = TK.dsir_score(
+        base, base.filter(F.col("lang") == "en"), n_buckets=DSIR_D
+    ).select(
+        "doc_id",
+        F.floor(F.col("dsir_x1e6") / F.lit(100000.0))
+        .cast("long")
+        .alias("dsir_decinat"),
+        ((F.col("n_feat") + 1) / 2).cast("long").alias("n_tok"),
+    )
+    total = scored.agg(F.sum("n_tok")).collect()[0][0]  # scalar only
+    return S.budget_select(
+        scored, math.floor(total * BUDGET_FRAC), quality_col="dsir_decinat"
+    )
+
+
+def _oracle_dsir_curation() -> str:
+    d = DSIR_D
+    return f"""
+    WITH docs AS (SELECT doc_id, lang,
+            CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+          FROM documents),
+    ne AS (SELECT * FROM docs WHERE len(w) > 0),
+    feat AS (
+      SELECT doc_id, lang, f FROM ne, UNNEST(w) AS t(f)
+      UNION ALL
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1]
+      FROM ne, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+    fb AS (SELECT doc_id, lang,
+             ('0x' || substr(md5('dsf|' || f), 1, 15))::BIGINT % {d} AS b
+           FROM feat),
+    rc AS (SELECT b, count(*)::BIGINT AS cr FROM fb GROUP BY 1),
+    tc AS (SELECT b, count(*)::BIGINT AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(cr) FROM rc)::BIGINT AS R,
+                   (SELECT coalesce(sum(ct), 0) FROM tc)::BIGINT AS T),
+    wt AS (SELECT rc.b,
+             floor((ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (T + {d})::DOUBLE)
+                  - ln((rc.cr + 1)::DOUBLE / (R + {d})::DOUBLE)) * 1e6 + 0.5)::BIGINT AS wt
+           FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot),
+    scored AS (SELECT fb.doc_id,
+                 floor(sum(wt.wt) / 100000.0)::BIGINT AS dsir_decinat,
+                 ((count(*) + 1) / 2)::BIGINT AS n_tok
+               FROM fb JOIN wt USING (b) GROUP BY 1),
+    bud AS (SELECT floor(sum(n_tok) * {BUDGET_FRAC}) AS budget FROM scored),
+    c AS (SELECT *, sum(n_tok) OVER (ORDER BY dsir_decinat DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM scored)
+    SELECT doc_id::BIGINT AS doc_id, dsir_decinat, n_tok
+    FROM c, bud WHERE cum <= budget
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -3321,6 +3399,7 @@ def queries():
         "token_dedup": q_token_dedup,
         "token_neardup": q_token_neardup,
         "dsir_select": q_dsir_select,
+        "dsir_curation": q_dsir_curation,
         "pii_redact": q_pii_redact,
         "pack_sequences": q_pack_sequences,
         "mix_sources": q_mix_sources,
@@ -3395,6 +3474,7 @@ def oracle_sql():
         "token_dedup": _oracle_token_dedup(),
         "token_neardup": _oracle_token_neardup(),
         "dsir_select": _oracle_dsir_select(),
+        "dsir_curation": _oracle_dsir_curation(),
         "pii_redact": _oracle_pii_redact(),
         "pack_sequences": _oracle_pack_sequences(),
         "mix_sources": _oracle_mix_sources(),
