@@ -799,17 +799,29 @@ def q_sketch_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_sketch_cte() -> str:
+    from hnormalise_spark.ops.dedup import MINHASH_P, minhash_params
+
+    prm = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(SKETCH_K))
+    )
+    # 28-bit base hash: first 7 hex chars of md5, digit-by-digit
+    hex7 = " + ".join(
+        f"{16 ** (6 - j)} * (strpos('0123456789abcdef', "
+        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
+        for j in range(7)
+    )
     return f"""
-    idx AS (SELECT unnest(range(0, {SKETCH_K})) AS i),
-    hv AS (SELECT event_type, i,
-             ('0x' || substr(md5(user_id::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT AS h
-           FROM events CROSS JOIN idx),
-    sk AS (SELECT event_type, i, MIN(h) AS min_hash FROM hv GROUP BY 1, 2)
+    prm(i, a, b) AS (VALUES {prm}),
+    hv AS (SELECT event_type, ({hex7})::BIGINT AS h FROM events),
+    sk AS (SELECT event_type, i, MIN((a * h + b) % {MINHASH_P}) AS min_hash
+           FROM hv CROSS JOIN prm GROUP BY 1, 2)
     """
 
 
 def _oracle_sketch_distinct() -> str:
-    numer = float(SKETCH_K * (1 << 60) * 1000)
+    from hnormalise_spark.ops.dedup import MINHASH_P
+
+    numer = float(SKETCH_K * MINHASH_P * 1000)
     return f"""
     WITH {_oracle_sketch_cte()},
     s AS (SELECT event_type, SUM(min_hash::HUGEINT) AS sm FROM sk GROUP BY 1),

@@ -33,26 +33,26 @@ Scale shape: the build is one posexplode (rows × k, all map-side)
 into a (group, i) min-aggregate — partial min per partition bounds
 the shuffle at n_partitions × n_groups × k rows regardless of input
 size; the sketch itself is n_groups × k rows of BIGINT. Estimates
-and pairwise Jaccard run on the sketch only. The k md5 calls per row
-are the portability price of the oracle; a 100-TB deployment swaps
-``_value_hash`` for ``xxhash64(value, i)`` (one line, same
-estimator, no other change).
+and pairwise Jaccard run on the sketch only. Per-row hashing is ONE
+md5 (the 28-bit base) + k Carter-Wegman multiply-mods — the same
+stream family and constants as the MinHash dedup path; a 100-TB
+deployment whose groups hold >~10^7 distinct values swaps the base
+for ``xxhash64`` with modulus 2^61-1 (same estimator, no other
+change; the 28-bit/2^31-1 instantiation is what the DuckDB oracle
+replays bit-for-bit).
 
 All cross-row arithmetic is integer (BIGINT mins, DECIMAL(38,0)
 sums) so results are bit-identical under any partitioning; the one
 double division per estimate happens once per group on
-exactly-convertible operands (k * 2^60 * SCALE is a dyadic integer
-< 2^97 with a 53-bit mantissa; the sum converts to the nearest
-double identically in any IEEE-754 engine).
+exactly-convertible operands (k * p * SCALE < 2^53, so exact in a
+double; the sum converts to the nearest double identically in any
+IEEE-754 engine).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-# 60-bit hash span, shared with ops/sampling (15 hex digits of md5).
-_HASH_SPAN = 1 << 60
 
 # estimates are published as integers scaled by 1e3 (cardinality) /
 # 1e6 (Jaccard) so the oracle compares BIGINTs, never raw doubles
@@ -64,7 +64,9 @@ def _value_hash(value: Column, i: Column) -> Column:
     """60-bit uniform hash #i of ``value``: first 15 hex digits of
     md5(value || '|' || i) as a non-negative long. Same construction
     as sampling.key_hash_unit so the DuckDB oracle reproduces it
-    bit-for-bit."""
+    bit-for-bit. (Kept for the count-min rows, where depth is ~4;
+    the k-mins build below uses the Carter-Wegman construction —
+    ONE md5 — because its k is ~128.)"""
     return F.conv(
         F.substring(
             F.md5(F.concat(value.cast("string"), F.lit("|"), i.cast("string"))),
@@ -93,12 +95,44 @@ def kmin_sketch(
     """
     if k < 8:
         raise ValueError(f"k must be >= 8 for a usable estimate, got {k}")
-    hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: _value_hash(F.col(value_col), i),
+    # Carter-Wegman stream family (shared constants with the MinHash
+    # path): ONE md5 per row for the 28-bit base hash, then
+    # h_i(v) = (a_i·h + b_i) mod p per stream — k multiply-mods
+    # instead of k md5 passes (this swap took the sf0.1 sketch legs
+    # from ~22 s to seconds; products stay < 2^59 so the arithmetic
+    # is identical int64 in Spark and DuckDB). The 28-bit base is the
+    # oracle-portable small-scale instantiation; a deployment whose
+    # groups hold >~10^7 distinct values swaps the base for
+    # xxhash64(value) with p = 2^61-1 — same estimator, no other
+    # change.
+    from hnormalise_spark.ops.dedup import MINHASH_P, _base_hash, minhash_params
+
+    params = minhash_params(k)
+    # k parallel min-aggregates over the base hash — the data rows are
+    # never exploded (a rows×k posexplode materialized 64M rows at
+    # sf0.1 and was the whole cost of this operator); the aggregate is
+    # map-side partial, and only the n_groups-row result unpivots to
+    # the (group, i, min_hash) sketch shape.
+    mins = (
+        df.select(
+            *group_cols, _base_hash(F.col(value_col).cast("string")).alias("_h")
+        )
+        .groupBy(*group_cols)
+        .agg(
+            *[
+                F.min(
+                    (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
+                ).alias(f"_m{i}")
+                for i, (a, b) in enumerate(params)
+            ]
+        )
     )
-    exploded = df.select(*group_cols, F.posexplode(hashes).alias("i", "hv"))
-    return exploded.groupBy(*group_cols, "i").agg(F.min("hv").alias("min_hash"))
+    return mins.select(
+        *group_cols,
+        F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(k)])).alias(
+            "i", "min_hash"
+        ),
+    )
 
 
 def kmin_merge(*sketches: DataFrame) -> DataFrame:
@@ -115,15 +149,17 @@ def kmin_merge(*sketches: DataFrame) -> DataFrame:
 
 def kmin_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
     """Distinct-count estimate per group from a k-mins sketch:
-    ``n_hat = k / sum(min_hash_i / 2^60) - 1``, published as the
-    BIGINT ``est_distinct_x1e3`` (n_hat * 1000, half-up).
+    ``n_hat = k / sum(min_hash_i / p) - 1`` with p the Carter-Wegman
+    modulus, published as the BIGINT ``est_distinct_x1e3``
+    (n_hat * 1000, half-up).
 
-    The sum of the k mins is exact DECIMAL(38,0) (longs up to 2^60
-    would overflow a BIGINT sum at k >= 16); the single double
-    division uses the dyadic constant k * 2^60 * 1000 (exact in a
-    double for any k < 2^43) so the result is engine-portable.
+    The sum of the k mins is exact DECIMAL(38,0); the single double
+    division uses the integer constant k * p * 1000 (< 2^53 for any
+    k < 2^21, so exact in a double) — the result is engine-portable.
     """
-    numer = float(k * _HASH_SPAN * EST_SCALE)
+    from hnormalise_spark.ops.dedup import MINHASH_P
+
+    numer = float(k * MINHASH_P * EST_SCALE)
     return (
         sketch.groupBy(*group_cols)
         .agg(F.sum(F.col("min_hash").cast("decimal(38,0)")).alias("_sum"))
