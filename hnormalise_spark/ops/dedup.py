@@ -216,7 +216,15 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
 
 
-def _minhash_prep_arrow(df: DataFrame, id_col: str, text_col: str, n: int, k: int, bands: int) -> DataFrame:
+def _minhash_prep_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    shingler=None,
+) -> DataFrame:
     """(id, text) → (_id, _sh, _bands) in ONE Arrow-batched pass.
 
     The expression form (char_shingles → minhash_signature → band_keys)
@@ -253,17 +261,26 @@ def _minhash_prep_arrow(df: DataFrame, id_col: str, text_col: str, n: int, k: in
     schema = f"_id {id_type}, _sh array<string>, _bands array<string>"
     ws = _re.compile("[ \t\n\x0b\f\r]+")
 
+    if shingler is None:
+        # default: the char-n-gram text shingler (bit-equal to
+        # char_shingles); callers with other value shapes (token
+        # arrays) pass their own — it must return the shingle list or
+        # None to drop the row, matching its SQL twin exactly.
+        def shingler(text):
+            if not isinstance(text, str):
+                return None  # null doc: SQL path drops it at explode
+            t = ws.sub(" ", text).strip(" ").lower()
+            if len(t) < n:
+                return [t]
+            return list(dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1)))
+
     def prep(it):
         for pdf in it:
             ids, shs = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                if not isinstance(text, str):
-                    continue  # null doc: SQL path drops it at explode
-                t = ws.sub(" ", text).strip(" ").lower()
-                if len(t) < n:
-                    sh = [t]
-                else:
-                    sh = list(dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1)))
+            for did, val in zip(pdf[id_col], pdf[text_col]):
+                sh = shingler(val)
+                if sh is None:
+                    continue
                 ids.append(did)
                 shs.append(sh)
             if not ids:

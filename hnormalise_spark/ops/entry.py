@@ -3328,6 +3328,10 @@ def q_dsir_curation(spark: SparkSession, sf: str) -> DataFrame:
         F.array().cast("array<string>"),
     ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
     base = docs.select("doc_id", words.alias("tokens"), "lang")
+    # three downstream actions (token total, budget histogram, final
+    # filter+window) would each replay the full DSIR scoring DAG —
+    # persist the small (doc_id, bucket, n_tok) frame so the corpus
+    # feature explode runs once
     scored = TK.dsir_score(
         base, base.filter(F.col("lang") == "en"), n_buckets=DSIR_D
     ).select(
@@ -3336,7 +3340,7 @@ def q_dsir_curation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("dsir_decinat"),
         ((F.col("n_feat") + 1) / 2).cast("long").alias("n_tok"),
-    )
+    ).persist()
     total = scored.agg(F.sum("n_tok")).collect()[0][0]  # scalar only
     return S.budget_select(
         scored, math.floor(total * BUDGET_FRAC), quality_col="dsir_decinat"

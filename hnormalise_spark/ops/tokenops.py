@@ -77,6 +77,29 @@ def token_ngram_shingles(tokens: Column, n: int = 8) -> Column:
     )
 
 
+def _token_shingler(n: int):
+    """Arrow-batch twin of token_ngram_shingles: comma-joined token
+    n-grams, first-occurrence-distinct, None for null/empty sequences
+    (the SQL path's filter). Must stay bit-equal to the expression
+    form — the DuckDB oracle replays that."""
+
+    def sh(val):
+        if val is None:
+            return None
+        strs = [str(int(t)) for t in val]
+        if not strs:
+            return None
+        if len(strs) < n:
+            return [",".join(strs)]
+        return list(
+            dict.fromkeys(
+                ",".join(strs[i : i + n]) for i in range(len(strs) - n + 1)
+            )
+        )
+
+    return sh
+
+
 def token_minhash_dedup(
     df: DataFrame,
     tokens_col: str = "tokens",
@@ -85,24 +108,34 @@ def token_minhash_dedup(
     k: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-duplicate sequences: token n-gram shingles → MinHash →
     LSH bands → in-bucket Jaccard verify ≥ threshold, reusing the
-    text path's signature and band-carry verify machinery. Returns
-    (id_a, id_b, jaccard) with id_a < id_b.
+    text path's signature and band-carry verify machinery (including
+    its Arrow-batched prep — the expression form's higher-order
+    functions evaluate interpreted and measured ~4x slower at sf0.1).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Null/empty sequences are dropped (they have no shingles)."""
-    rows = k // bands
-    base = (
-        df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
-        .select(
-            F.col(id_col).alias("_id"),
-            token_ngram_shingles(F.col(tokens_col), n).alias("_sh"),
+    if use_arrow:
+        from hnormalise_spark.ops.dedup import _minhash_prep_arrow
+
+        base = _minhash_prep_arrow(
+            df, id_col, tokens_col, n, k, bands, shingler=_token_shingler(n)
         )
-        .withColumn("_sig", minhash_signature(F.col("_sh"), k))
-        .withColumn("_bands", band_keys(F.col("_sig"), bands, rows))
-        .drop("_sig")
-    )
+    else:
+        rows = k // bands
+        base = (
+            df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+            .select(
+                F.col(id_col).alias("_id"),
+                token_ngram_shingles(F.col(tokens_col), n).alias("_sh"),
+            )
+            .withColumn("_sig", minhash_signature(F.col("_sh"), k))
+            .withColumn("_bands", band_keys(F.col("_sig"), bands, rows))
+            .drop("_sig")
+        )
     return _band_carry_verify(base, threshold)
 
 

@@ -79,6 +79,29 @@ def test_token_minhash_drops_empty(spark):
     assert out == []
 
 
+def test_token_minhash_arrow_equals_expression_path(spark):
+    seq = list(range(300, 360))
+    rows = [
+        (1, seq),
+        (2, seq[:30] + [7] + seq[31:]),
+        (3, [9, 9, 9]),          # shorter than n: whole-sequence shingle
+        (4, None),
+        (5, []),
+        (6, list(range(800, 860))),
+    ]
+    df = _df(spark, rows)
+
+    def pairs(use_arrow):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in TK.token_minhash_dedup(
+                df, threshold=0.3, use_arrow=use_arrow
+            ).collect()
+        )
+
+    assert pairs(True) == pairs(False)
+
+
 # ---------------------------------------------------------------------------
 # DSIR
 
