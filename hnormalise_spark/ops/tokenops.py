@@ -36,8 +36,18 @@ from hnormalise_spark.ops.dedup import (
 
 def _tok_str(tokens: Column) -> Column:
     """Canonical string form of a token array: comma-joined decimal
-    codes. Fixed-width-ish, unambiguous (no token renders a comma)."""
-    return F.array_join(F.transform(tokens, lambda t: t.cast("string")), ",")
+    codes. Fixed-width-ish, unambiguous (no token renders a comma).
+    Null elements are dropped first (the canonical schema forbids
+    them — schemas.py declares array<int> containsNull=false — but a
+    caller-supplied frame must not crash the Arrow twin or silently
+    shift n-gram windows)."""
+    return F.array_join(
+        F.transform(
+            F.filter(tokens, lambda t: t.isNotNull()),
+            lambda t: t.cast("string"),
+        ),
+        ",",
+    )
 
 
 def token_fingerprint(tokens: Column) -> Column:
@@ -65,13 +75,16 @@ def token_exact_dedup(
 def token_ngram_shingles(tokens: Column, n: int = 8) -> Column:
     """Distinct token n-grams as comma-joined strings; sequences
     shorter than n contribute their whole sequence as the single
-    shingle (mirrors dedup.char_shingles' short-input rule)."""
-    ln = F.size(tokens)
-    return F.when(ln < n, F.array(_tok_str(tokens))).otherwise(
+    shingle (mirrors dedup.char_shingles' short-input rule). Null
+    elements are dropped BEFORE windowing so the Arrow twin
+    (_token_shingler) sees identical n-gram positions."""
+    clean = F.filter(tokens, lambda t: t.isNotNull())
+    ln = F.size(clean)
+    return F.when(ln < n, F.array(_tok_str(clean))).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), ln - n + 1),
-                lambda i: _tok_str(F.slice(tokens, i, n)),
+                lambda i: _tok_str(F.slice(clean, i, n)),
             )
         )
     )
@@ -86,7 +99,9 @@ def _token_shingler(n: int):
     def sh(val):
         if val is None:
             return None
-        strs = [str(int(t)) for t in val]
+        # null elements arrive as None OR NaN depending on the Arrow
+        # batch's null layout; t == t is the NaN test
+        strs = [str(int(t)) for t in val if t is not None and t == t]
         if not strs:
             return None
         if len(strs) < n:
@@ -127,7 +142,10 @@ def token_minhash_dedup(
     else:
         rows = k // bands
         base = (
-            df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+            df.filter(
+                F.col(tokens_col).isNotNull()
+                & (F.size(F.filter(F.col(tokens_col), lambda t: t.isNotNull())) > 0)
+            )
             .select(
                 F.col(id_col).alias("_id"),
                 token_ngram_shingles(F.col(tokens_col), n).alias("_sh"),

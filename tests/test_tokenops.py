@@ -88,6 +88,8 @@ def test_token_minhash_arrow_equals_expression_path(spark):
         (4, None),
         (5, []),
         (6, list(range(800, 860))),
+        (7, [None] * 3),         # all-null elements: dropped by both paths
+        (8, seq[:20] + [None] + seq[20:]),  # null element skipped, windows align
     ]
     df = _df(spark, rows)
 
