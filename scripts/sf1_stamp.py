@@ -37,7 +37,12 @@ from bench import STEAL_MAX, _cpu_sample, _steal_pct, force  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = "/tmp/hnorm_sf1"
-LEGS = ["exact_dedup", "minhash_lsh", "training_pipeline"]
+LEGS = [
+    "exact_dedup", "minhash_lsh", "training_pipeline",
+    # round-5 documents-table additions
+    "quality_classifier", "token_dedup", "token_neardup",
+    "dsir_select", "dsir_curation",
+]
 REPLICAS = 10
 
 
