@@ -1218,15 +1218,20 @@ _WITNESS_FIRST = [
     "dup_span_extract", "dup_span_removal", "bloom_decontaminate",
     "quality_classifier", "token_dedup", "token_neardup", "dsir_select",
     "dsir_curation",
+    # new this session: context-window chunking, token-level
+    # decontamination, vocabulary/OOV coverage
+    "token_chunks", "token_decontam", "token_oov",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",
     "route_counts_rollup", "walltime_memory", "host_list",
     "enrich_broadcast", "json_encode_snoopy", "json_input",
     "json_fields_projection",
-    # ops entries last witnessed in r3
+    # ops entries last witnessed in r3 (multimodal_frames rotates out
+    # to keep the list at the driver's 50-entry window; it is r3-green
+    # and unchanged since)
     "bm25_topk", "multimodal_features", "multimodal_resize",
-    "multimodal_frames", "tokens_roundtrip",
+    "tokens_roundtrip",
     # r4-green but code changed this round — re-witness
     "ann_recall", "embedding_neardup", "winnow_fp",
     # composed flagships

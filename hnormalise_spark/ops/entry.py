@@ -3384,6 +3384,139 @@ def _oracle_dsir_curation() -> str:
     """
 
 
+CHUNK_W, CHUNK_S = 64, 48
+
+
+def q_token_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking of token sequences (window=64,
+    stride=48 → 16-token overlap, HF overflow convention): one row
+    per chunk with its 1-slice of the codepoint token array. The
+    chunk array is projected to the canonical comma-joined string so
+    the driver's value hash is engine-portable."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    out = TK.token_chunks(toked, window=CHUNK_W, stride=CHUNK_S)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(
+            F.transform(F.col("chunk_tokens"), lambda t: t.cast("string")), ","
+        ).alias("chunk_str"),
+        F.col("chunk_len").cast("long").alias("chunk_len"),
+    )
+
+
+def _oracle_token_chunks() -> str:
+    w, s = CHUNK_W, CHUNK_S
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    ne AS (SELECT doc_id, codes, len(codes) AS n FROM tok WHERE len(codes) > 0),
+    idx AS (SELECT doc_id, codes,
+              unnest(generate_series(0,
+                CASE WHEN n <= {w} THEN 0
+                     ELSE (n - {w} + {s} - 1) // {s} END)) AS i
+            FROM ne)
+    SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS chunk_idx,
+           array_to_string(codes[i * {s} + 1 : i * {s} + {w}], ',') AS chunk_str,
+           len(codes[i * {s} + 1 : i * {s} + {w}])::BIGINT AS chunk_len
+    FROM idx
+    """
+
+
+def q_token_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-level decontamination: eval set = every 17th document's
+    token 8-grams (broadcast); every corpus sequence annotated with
+    its distinct eval-gram hit count. Eval members flag themselves
+    (planted contamination); exact/near copies of them flag too."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    ev = TK.token_eval_grams(toked.filter(F.col("doc_id") % 17 == 0), n=8)
+    out = TK.token_decontaminate(toked, ev, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_eval_hits").cast("long").alias("n_eval_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _oracle_token_decontam() -> str:
+    return """
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    grams AS (SELECT doc_id,
+                md5(array_to_string(codes[i : i + 7], ',')) AS gram
+              FROM tok, UNNEST(range(1, len(codes) - 6)) AS r(i)
+              WHERE len(codes) >= 8),
+    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 17 = 0),
+    hits AS (SELECT dg.doc_id, count(*)::BIGINT AS n
+             FROM dg JOIN ev USING (gram) GROUP BY 1)
+    SELECT tok.doc_id::BIGINT AS doc_id,
+           coalesce(hits.n, 0)::BIGINT AS n_eval_hits,
+           (coalesce(hits.n, 0) > 0)::INT AS contaminated
+    FROM tok LEFT JOIN hits USING (doc_id)
+    """
+
+
+VOCAB_V = 48
+
+
+def q_token_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage: vocab = top-48 codepoint tokens by corpus
+    frequency (deterministic count-DESC/token-ASC tiebreak), then
+    per-sequence OOV counts and ppm against the broadcast vocab."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    vocab = TK.vocab_top_tokens(toked, top_v=VOCAB_V)
+    return TK.token_oov_stats(toked, vocab).select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.col("oov_ppm").cast("long").alias("oov_ppm"),
+    )
+
+
+def _oracle_token_oov() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    flat AS (SELECT doc_id, unnest(codes) AS t FROM tok WHERE len(codes) > 0),
+    vocab AS (SELECT t FROM flat GROUP BY t
+              ORDER BY count(*) DESC, t ASC LIMIT {VOCAB_V})
+    SELECT flat.doc_id::BIGINT AS doc_id,
+           count(*)::BIGINT AS n_tok,
+           sum((flat.t NOT IN (SELECT t FROM vocab))::INT)::BIGINT AS n_oov,
+           floor(sum((flat.t NOT IN (SELECT t FROM vocab))::INT) * 1e6
+                 / count(*) + 0.5)::BIGINT AS oov_ppm
+    FROM flat GROUP BY 1
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -3414,6 +3547,9 @@ def queries():
         "quality_classifier": q_quality_classifier,
         "token_dedup": q_token_dedup,
         "token_neardup": q_token_neardup,
+        "token_chunks": q_token_chunks,
+        "token_decontam": q_token_decontam,
+        "token_oov": q_token_oov,
         "dsir_select": q_dsir_select,
         "dsir_curation": q_dsir_curation,
         "pii_redact": q_pii_redact,
@@ -3489,6 +3625,9 @@ def oracle_sql():
         "quality_classifier": _oracle_quality_classifier(),
         "token_dedup": _oracle_token_dedup(),
         "token_neardup": _oracle_token_neardup(),
+        "token_chunks": _oracle_token_chunks(),
+        "token_decontam": _oracle_token_decontam(),
+        "token_oov": _oracle_token_oov(),
         "dsir_select": _oracle_dsir_select(),
         "dsir_curation": _oracle_dsir_curation(),
         "pii_redact": _oracle_pii_redact(),

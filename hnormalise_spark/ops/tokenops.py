@@ -158,6 +158,195 @@ def token_minhash_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking
+
+
+def token_chunks(
+    df: DataFrame,
+    window: int = 512,
+    stride: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    drop_partial: bool = False,
+) -> DataFrame:
+    """Split every sequence into fixed context windows of ``window``
+    tokens starting every ``stride`` tokens (default ``stride =
+    window`` → non-overlapping blocks; ``stride < window`` → the
+    HF-tokenizer ``return_overflowing_tokens`` overlap convention).
+
+    Chunk ``i`` covers positions ``i*stride+1 .. i*stride+window``
+    (1-based); the last chunk starts at the smallest multiple of
+    ``stride`` that still reaches the end of the sequence, so every
+    token lands in at least one chunk and only the LAST chunk may be
+    shorter than ``window``. ``drop_partial`` keeps full windows only
+    (the causal-LM pre-training setting that discards ragged tails).
+
+    Returns one row per chunk: ``(id_col, chunk_idx, chunk_tokens,
+    chunk_len)``. Null/empty sequences produce no chunks; null
+    elements are dropped first (canonical schema forbids them).
+
+    Scale shape: a pure narrow transform — sequence/slice/posexplode
+    inside one projection, NO shuffle, no Python. Output rows ≈
+    n_tok/stride per doc; at 10^12 sequences this is the map side of
+    whatever consumes the chunks (packing, dedup, scoring), which is
+    exactly where it should sit.
+    """
+    if stride is None:
+        stride = window
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    base = df.filter(
+        F.col(tokens_col).isNotNull() & (F.size(clean) > 0)
+    ).select(F.col(id_col), clean.alias("_t"))
+    n = F.size("_t")
+    # last chunk index: smallest k with k*stride + window >= n,
+    # i.e. ceil((n - window)/stride) — integer form, no floats
+    k_max = F.when(n <= window, F.lit(0)).otherwise(
+        F.floor((n - F.lit(window) + F.lit(stride) - 1) / F.lit(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), k_max),
+        lambda i: F.slice(F.col("_t"), i * stride + 1, window),
+    )
+    out = base.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_tokens")
+    ).withColumn("chunk_len", F.size("chunk_tokens"))
+    if drop_partial:
+        out = out.filter(F.col("chunk_len") == window)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Token-level decontamination (decontam.py's twin over token ids)
+
+
+def token_ngram_hashes(tokens: Column, n: int) -> Column:
+    """Array of md5 hashes of the distinct token ``n``-grams
+    (comma-joined decimal codes — same canonical form as
+    token_fingerprint, so oracles replay it). Sequences with fewer
+    than ``n`` tokens yield an empty array — mirroring
+    decontam.word_ngram_hashes, NOT token_ngram_shingles' short-row
+    whole-sequence rule: a too-short sequence cannot contain an eval
+    n-gram, so it must produce no gram at all."""
+    clean = F.filter(tokens, lambda t: t.isNotNull())
+    k = F.size(clean) - F.lit(n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.md5(_tok_str(F.slice(clean, i, n))))
+    )
+
+
+def token_eval_grams(
+    df_eval: DataFrame, tokens_col: str = "tokens", n: int = 8
+) -> DataFrame:
+    """Distinct token n-gram hash set of an eval/benchmark corpus —
+    one column ``gram``. Small by construction; callers broadcast."""
+    return df_eval.select(
+        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("gram")
+    ).distinct()
+
+
+def token_decontaminate(
+    df: DataFrame,
+    eval_grams: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Flag training sequences sharing any token ``n``-gram with the
+    eval set: adds ``n_eval_hits`` (distinct eval grams contained)
+    and ``contaminated`` (1 iff any). The token-table twin of
+    decontam.decontaminate with the identical plan shape: corpus
+    explode → inner join broadcast(eval_grams) → per-doc hit count →
+    hits broadcast-joined back. The corpus is never shuffled."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(token_ngram_hashes(F.col(tokens_col), n)).alias("gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(eval_grams.select("gram")), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_eval_hits"))
+    )
+    return (
+        df.join(F.broadcast(hits), id_col, "left")
+        .withColumn("n_eval_hits", F.coalesce(F.col("n_eval_hits"), F.lit(0)))
+        .withColumn("contaminated", (F.col("n_eval_hits") > 0).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate
+
+
+def vocab_top_tokens(
+    df: DataFrame, tokens_col: str = "tokens", top_v: int = 50_000
+) -> DataFrame:
+    """Top-``top_v`` token ids by corpus frequency, deterministic
+    tiebreak (count DESC, token ASC). Two-level aggregate (map-side
+    combine into the token-keyed agg) then a single TakeOrdered —
+    never a global sort of the corpus. Returns (token, freq)."""
+    return (
+        df.select(F.explode(F.filter(F.col(tokens_col), lambda t: t.isNotNull())).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(top_v)
+    )
+
+
+def token_oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-sequence vocabulary coverage against a broadcast ``vocab``
+    table: ``n_tok`` (non-null tokens), ``n_oov`` (tokens outside the
+    vocab), ``oov_ppm`` (integer parts-per-million, floor(x+0.5) — the
+    repo's cross-engine rounding rule). Empty/null sequences are
+    excluded (no tokens → no coverage to report).
+
+    Scale shape (lm_unigram_score pattern): the doc partitioning is
+    established BEFORE the explode, the vocab join is a broadcast
+    (vocab ≤ ~10^6 rows), so the per-doc aggregate re-uses the
+    pre-explode partitioning — one corpus shuffle total, none of it
+    keyed by the exploded rows."""
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    base = (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(clean) > 0))
+        .select(F.col(id_col).alias("_doc"), clean.alias("_t"))
+        .repartition(F.col("_doc"))
+    )
+    tok = base.select("_doc", F.explode("_t").alias("_tok"))
+    marked = tok.join(
+        F.broadcast(
+            vocab.select(F.col(token_col).alias("_tok")).distinct()
+            .withColumn("_in", F.lit(1))
+        ),
+        "_tok",
+        "left",
+    )
+    return (
+        marked.groupBy("_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum((F.col("_in").isNull()).cast("long")).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.floor(F.col("n_oov") * F.lit(1e6) / F.col("n_tok") + F.lit(0.5))
+            .cast("long"),
+        )
+        .withColumnRenamed("_doc", id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR hashed-feature importance scoring
 
 DSIR_BUCKETS = 4096
