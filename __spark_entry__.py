@@ -1219,19 +1219,18 @@ _WITNESS_FIRST = [
     "quality_classifier", "token_dedup", "token_neardup", "dsir_select",
     "dsir_curation",
     # new this session: context-window chunking, token-level
-    # decontamination, vocabulary/OOV coverage
-    "token_chunks", "token_decontam", "token_oov",
+    # decontamination, vocabulary/OOV coverage, materialized packing
+    "token_chunks", "token_decontam", "token_oov", "token_pack",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",
     "route_counts_rollup", "walltime_memory", "host_list",
     "enrich_broadcast", "json_encode_snoopy", "json_input",
     "json_fields_projection",
-    # ops entries last witnessed in r3 (multimodal_frames rotates out
-    # to keep the list at the driver's 50-entry window; it is r3-green
-    # and unchanged since)
-    "bm25_topk", "multimodal_features", "multimodal_resize",
-    "tokens_roundtrip",
+    # ops entries last witnessed in r3 (multimodal_frames and
+    # multimodal_resize rotate out to keep the list at the driver's
+    # 50-entry window; both are r3-green and unchanged since)
+    "bm25_topk", "multimodal_features", "tokens_roundtrip",
     # r4-green but code changed this round — re-witness
     "ann_recall", "embedding_neardup", "winnow_fp",
     # composed flagships

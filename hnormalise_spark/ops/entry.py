@@ -3517,6 +3517,69 @@ def _oracle_token_oov() -> str:
     """
 
 
+TPB_CTX, TPB_EOD = 96, 10
+
+
+def q_token_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized concat-then-chunk packing: the codepoint token
+    arrays (plus a newline EOD) concatenated in per-shard doc order
+    and cut into ctx=96 training blocks. The packed array is
+    projected to the canonical comma-joined string so the driver's
+    value hash is engine-portable."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    out = TK.token_pack_blocks(
+        toked, ctx=TPB_CTX, eod=TPB_EOD, shards=PACK_SHARDS
+    )
+    return out.select(
+        "block_id",
+        F.array_join(
+            F.transform(F.col("tokens"), lambda t: t.cast("string")), ","
+        ).alias("token_str"),
+        "n_tok",
+        "n_docs",
+    )
+
+
+def _oracle_token_pack() -> str:
+    u = _u_sql("doc_id", "pack")
+    c, s, e = TPB_CTX, PACK_SHARDS, TPB_EOD
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(ch) FOR ch IN split(text, '')] END AS codes
+          FROM documents),
+    ne AS (SELECT doc_id, list_append(codes, {e}) AS codes
+           FROM tok WHERE len(codes) > 0),
+    h AS (SELECT doc_id::BIGINT AS doc_id, codes,
+                 len(codes)::BIGINT AS n,
+                 floor({u} * {s})::INT AS shard
+          FROM ne),
+    cum AS (SELECT *, coalesce(sum(n) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb
+            FROM h),
+    frag AS (SELECT shard,
+               (cb // {c} + j)::BIGINT AS blk,
+               greatest(0, cb - (cb // {c} + j) * {c})::BIGINT AS off,
+               codes[(greatest(0, (cb // {c} + j) * {c} - cb) + 1)::BIGINT
+                     : least(n, (cb // {c} + j + 1) * {c} - cb)::BIGINT] AS seg
+             FROM cum,
+               UNNEST(generate_series(0, ((cb + n - 1) // {c} - cb // {c})::BIGINT)) AS t(j))
+    SELECT (shard::BIGINT * 4294967296 + blk)::BIGINT AS block_id,
+           string_agg(array_to_string(seg, ','), ',' ORDER BY off) AS token_str,
+           sum(len(seg))::BIGINT AS n_tok,
+           count(*)::BIGINT AS n_docs
+    FROM frag GROUP BY 1
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -3550,6 +3613,7 @@ def queries():
         "token_chunks": q_token_chunks,
         "token_decontam": q_token_decontam,
         "token_oov": q_token_oov,
+        "token_pack": q_token_pack,
         "dsir_select": q_dsir_select,
         "dsir_curation": q_dsir_curation,
         "pii_redact": q_pii_redact,
@@ -3628,6 +3692,7 @@ def oracle_sql():
         "token_chunks": _oracle_token_chunks(),
         "token_decontam": _oracle_token_decontam(),
         "token_oov": _oracle_token_oov(),
+        "token_pack": _oracle_token_pack(),
         "dsir_select": _oracle_dsir_select(),
         "dsir_curation": _oracle_dsir_curation(),
         "pii_redact": _oracle_pii_redact(),

@@ -347,6 +347,127 @@ def token_oov_stats(
 
 
 # ---------------------------------------------------------------------------
+# Materialized concat-then-chunk packing
+
+_BLOCK_SPAN = 1 << 32  # packing.py's shard-qualified block-id space
+
+
+def token_pack_blocks(
+    df: DataFrame,
+    ctx: int,
+    eod: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    shards: int = 8,
+) -> DataFrame:
+    """MATERIALIZE GPT-style concat-then-chunk packing: concatenate
+    every sequence (plus an optional ``eod`` separator token) in
+    deterministic per-shard ``id_col`` order and cut the stream into
+    fixed ``ctx``-length training blocks — the actual examples a
+    trainer consumes, not just the placement metadata
+    (``packing.pack_sequences`` computes the latter; this produces
+    the blocks themselves, directly from the token arrays).
+
+    Returns one row per block: ``(block_id, tokens, n_tok, n_docs)``
+    where ``block_id = shard * 2^32 + block`` (pack_sequences' id
+    space), ``tokens`` is the packed ``array<int>`` (exactly ``ctx``
+    long except the final ragged block of each shard), and ``n_docs``
+    counts the sequences contributing at least one token — the number
+    a boundary-aware attention mask needs. Empty/null sequences are
+    dropped; shard membership is the salted hash pack_sequences uses,
+    so both views of the packing agree row-for-row.
+
+    Scale shape: each doc computes its start offset from ONE
+    per-shard running-sum window, then splits its own array at block
+    boundaries inside a projection (sequence/slice — no per-token
+    explode) and ships each fragment to its block via ONE
+    (shard, block) aggregate that re-orders fragments by offset with
+    ``sort_array`` and flattens. Two shuffles total — the window's
+    hash-by-shard and the block assembly — both keyed by small fixed
+    columns; the token arrays cross the wire exactly once, cut into
+    the fragments the blocks need. ``shards`` is the parallelism of
+    the order-defining window: at 10^12 sequences set it ~10^4-10^5
+    so each shard's running sum stays a single-task-friendly slice
+    (the same dial pack_sequences exposes).
+    """
+    if ctx < 1:
+        raise ValueError("ctx must be >= 1")
+    from hnormalise_spark.ops.sampling import key_hash_unit
+
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    arr = clean if eod is None else F.concat(clean, F.array(F.lit(int(eod))))
+    base = df.filter(F.col(tokens_col).isNotNull() & (F.size(clean) > 0)).select(
+        F.col(id_col).alias("_doc"),
+        arr.alias("_t"),
+        F.floor(key_hash_unit(F.col(id_col), "pack") * shards)
+        .cast("int")
+        .alias("_shard"),
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy("_doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n = F.size("_t").cast("long")
+    cum = F.coalesce(F.sum(n).over(w), F.lit(0)).cast("long")
+    staged = base.select(
+        "_shard", "_t", n.alias("_n"), cum.alias("_cum")
+    )
+    first_blk = F.floor(F.col("_cum") / ctx).cast("long")
+    last_blk = F.floor((F.col("_cum") + F.col("_n") - 1) / ctx).cast("long")
+    # fragment j of this doc lands in block first_blk + j; its slice
+    # bounds come from intersecting [cum, cum+n) with the block's
+    # global token interval [blk*ctx, (blk+1)*ctx)
+    frags = F.transform(
+        F.sequence(F.lit(0).cast("long"), last_blk - first_blk),
+        lambda j: F.struct(
+            (first_blk + j).alias("blk"),
+            F.greatest(F.lit(0).cast("long"), F.col("_cum") - (first_blk + j) * ctx)
+            .alias("off"),
+            F.slice(
+                F.col("_t"),
+                (
+                    F.greatest(
+                        F.lit(0).cast("long"), (first_blk + j) * ctx - F.col("_cum")
+                    )
+                    + 1
+                ).cast("int"),
+                (
+                    F.least(F.col("_n"), (first_blk + j + 1) * ctx - F.col("_cum"))
+                    - F.greatest(
+                        F.lit(0).cast("long"), (first_blk + j) * ctx - F.col("_cum")
+                    )
+                ).cast("int"),
+            ).alias("seg"),
+        ),
+    )
+    pieces = staged.select(
+        "_shard", F.explode(frags).alias("_f")
+    ).select("_shard", F.col("_f.blk").alias("_blk"), F.col("_f.off").alias("_off"),
+             F.col("_f.seg").alias("_seg"))
+    # fragment offsets within a block are disjoint, so (off) alone is
+    # a total order; sort_array on the (off, seg) struct restores the
+    # stream order regardless of collect_list's arrival order
+    return (
+        pieces.groupBy("_shard", "_blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_off"), F.col("_seg")))
+            ).alias("_ps")
+        )
+        .select(
+            (F.col("_shard").cast("long") * _BLOCK_SPAN + F.col("_blk"))
+            .alias("block_id"),
+            F.flatten(
+                F.transform(F.col("_ps"), lambda p: p.getField("_seg"))
+            ).alias("tokens"),
+            F.size(F.col("_ps")).cast("long").alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR hashed-feature importance scoring
 
 DSIR_BUCKETS = 4096
