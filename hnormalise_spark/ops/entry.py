@@ -3517,6 +3517,49 @@ def _oracle_token_oov() -> str:
     """
 
 
+ZIPF_V = 64
+
+
+def q_token_zipf(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf exponent of the codepoint token distribution: one-row
+    corpus-health metric (least-squares slope of ln f vs ln r over
+    the top-64 tokens, integer micro-units end-to-end)."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return TK.token_zipf_fit(toked, top_v=ZIPF_V)
+
+
+def _oracle_token_zipf() -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    flat AS (SELECT unnest(codes) AS t FROM tok WHERE len(codes) > 0),
+    freq AS (SELECT t, count(*)::BIGINT AS f FROM flat GROUP BY t
+             ORDER BY f DESC, t ASC LIMIT {ZIPF_V}),
+    rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, t ASC) AS r FROM freq),
+    m AS (SELECT floor(ln(r::DOUBLE) * 1e6 + 0.5)::HUGEINT AS x,
+                 floor(ln(f::DOUBLE) * 1e6 + 0.5)::HUGEINT AS y
+          FROM rk),
+    s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx
+          FROM m)
+    SELECT n::BIGINT AS n_vocab,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             floor((-(n * sxy - sx * sy))::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE * 1e6 + 0.5)::BIGINT
+           ELSE NULL END AS alpha_x1e6
+    FROM s
+    """
+
+
 TPB_CTX, TPB_EOD = 96, 10
 
 
@@ -3614,6 +3657,7 @@ def queries():
         "token_decontam": q_token_decontam,
         "token_oov": q_token_oov,
         "token_pack": q_token_pack,
+        "token_zipf": q_token_zipf,
         "dsir_select": q_dsir_select,
         "dsir_curation": q_dsir_curation,
         "pii_redact": q_pii_redact,
@@ -3693,6 +3737,7 @@ def oracle_sql():
         "token_decontam": _oracle_token_decontam(),
         "token_oov": _oracle_token_oov(),
         "token_pack": _oracle_token_pack(),
+        "token_zipf": _oracle_token_zipf(),
         "dsir_select": _oracle_dsir_select(),
         "dsir_curation": _oracle_dsir_curation(),
         "pii_redact": _oracle_pii_redact(),

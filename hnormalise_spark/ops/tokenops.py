@@ -346,6 +346,58 @@ def token_oov_stats(
     )
 
 
+def token_zipf_fit(
+    df: DataFrame, tokens_col: str = "tokens", top_v: int = 64
+) -> DataFrame:
+    """Least-squares Zipf exponent of the corpus token frequency
+    distribution: fit ``ln f ≈ c - alpha·ln r`` over the top
+    ``top_v`` tokens (rank r by count DESC / token ASC — the
+    vocab_top_tokens order) and return ONE row
+    ``(n_vocab, alpha_x1e6)``. A healthy natural-language corpus sits
+    near alpha ≈ 1; a collapsed or templated corpus drifts far from
+    it, so this is a cheap corpus-health monitor over the token
+    table.
+
+    Cross-engine determinism (the lm_score pattern): ln(r) and ln(f)
+    round to integer micro-units FIRST, all moment sums are exact
+    decimal integers, and only the final num/den ratio goes through
+    double — so partitioning and summation order cannot move the
+    result. ``alpha_x1e6`` is null when fewer than 2 ranks exist.
+
+    Scale shape: the corpus-sized work is vocab_top_tokens' two-level
+    count aggregate; everything after runs on ≤ ``top_v`` rows (the
+    single-partition rank window is bounded by top_v, same as the
+    budget-select histogram collects)."""
+    freq = vocab_top_tokens(df, tokens_col=tokens_col, top_v=top_v)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    m = freq.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("_x"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("_y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = -(F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return s.select(
+        F.col("_n").cast("long").alias("n_vocab"),
+        F.when(
+            den > 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5)
+            ).cast("long"),
+        ).alias("alpha_x1e6"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Materialized concat-then-chunk packing
 
