@@ -3623,6 +3623,166 @@ def _oracle_token_pack() -> str:
     """
 
 
+# --- log template mining / drift / burst (ops.logmine) ----------------
+
+# Four syslog-ish message shapes with embedded variable fields; the
+# masked skeletons below are what mine_templates must recover. The
+# oracle emits these as LITERALS keyed by shape — it never re-runs the
+# masking — so a pass proves the regexp chain collapses every
+# constructed variant of a shape to exactly one template.
+_LOG_SHAPES = [
+    "sshd[<N>]: Accepted publickey for user<N> from <IP> port <N>",
+    "kernel: CPU<N>: temperature above threshold (<N> C)",
+    "systemd[<N>]: Started Session <N> of user u<N>.",
+    "nfs: server fs<N> not responding, still trying (retry <N>)",
+]
+
+
+def _log_shape_line(k, c, shape):
+    """Raw line for shape i, all variable fields driven by (k, c)."""
+    return (
+        F.when(
+            shape == 0,
+            F.format_string(
+                "sshd[%d]: Accepted publickey for user%d from 10.%d.%d.%d port %d",
+                k % 30000 + 1, c % 500, c % 200 + 1, k % 250, c % 250,
+                k % 60000 + 1024,
+            ),
+        )
+        .when(
+            shape == 1,
+            F.format_string(
+                "kernel: CPU%d: temperature above threshold (%d C)",
+                k % 32, k % 30 + 60,
+            ),
+        )
+        .when(
+            shape == 2,
+            F.format_string(
+                "systemd[%d]: Started Session %d of user u%d.",
+                k % 7 + 1, k % 90000, c % 500,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "nfs: server fs%d not responding, still trying (retry %d)",
+                c % 40, k % 9 + 1,
+            )
+        )
+    )
+
+
+def q_log_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Drain-style template mining over a four-shape synthetic syslog
+    corpus: mask variables, one map-side-combining aggregate, integer
+    ppm shares. The failure-stream triage op (see ops/logmine.py)."""
+    from hnormalise_spark.ops import logmine as LM
+
+    o = spread_to_cores(
+        spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    )
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    raw = o.select(_log_shape_line(k, c, k % 4).alias("raw"))
+    return LM.mine_templates(raw, "raw")
+
+
+def _oracle_log_templates() -> str:
+    tpl_values = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_LOG_SHAPES)
+    )
+    return f"""
+    WITH cnt AS (SELECT o_orderkey % 4 AS shape, count(*)::BIGINT AS n
+                 FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM cnt),
+    tpl AS (SELECT * FROM (VALUES {tpl_values}) AS v(shape, template))
+    SELECT tpl.template AS template, cnt.n AS n_lines,
+           floor(cnt.n * 1e6 / tot.t + 0.5)::BIGINT AS share_ppm
+    FROM cnt JOIN tpl USING (shape) CROSS JOIN tot
+    """
+
+
+def q_template_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-population drift between two corpora: 'old' emits
+    shapes {0,1,2} (by k%3), 'new' emits {1,2,3} for the same keys —
+    so shape 0 must report 'gone', shape 3 'new', and 1/2 get the
+    exact integer 2x-share test. Both sides collapse to
+    template-cardinality tables before the full-outer join."""
+    from hnormalise_spark.ops import logmine as LM
+
+    o = spread_to_cores(
+        spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    )
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    old = o.select(_log_shape_line(k, c, k % 3).alias("raw"))
+    new = o.select(_log_shape_line(k, c, k % 3 + 1).alias("raw"))
+    return LM.template_drift(old, new, "raw")
+
+
+def _oracle_template_drift() -> str:
+    tpl_values = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate(_LOG_SHAPES)
+    )
+    return f"""
+    WITH m AS (SELECT o_orderkey % 3 AS s, count(*)::BIGINT AS n
+               FROM orders GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM m),
+    tpl AS (SELECT * FROM (VALUES {tpl_values}) AS v(i, template)),
+    sides AS (SELECT tpl.template,
+                     coalesce((SELECT n FROM m WHERE s = tpl.i), 0) AS n_old,
+                     coalesce((SELECT n FROM m WHERE s = tpl.i - 1), 0) AS n_new
+              FROM tpl),
+    shares AS (SELECT template, n_old, n_new,
+                      floor(n_old * 1e6 / tot.t + 0.5)::BIGINT AS share_old_ppm,
+                      floor(n_new * 1e6 / tot.t + 0.5)::BIGINT AS share_new_ppm
+               FROM sides CROSS JOIN tot)
+    SELECT template, n_old, n_new, share_old_ppm, share_new_ppm,
+           CASE WHEN n_old = 0 THEN 'new'
+                WHEN n_new = 0 THEN 'gone'
+                WHEN share_new_ppm > 2 * share_old_ppm
+                     OR share_old_ppm > 2 * share_new_ppm THEN 'shifted'
+                ELSE 'stable' END AS status
+    FROM shares
+    """
+
+
+def q_error_burst(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user hourly error-burst flags at 1.5x the user's own mean
+    bucket rate — exact integer decision (n * n_buckets * 2 >
+    3 * total), ratio in ppm."""
+    from hnormalise_spark.ops import logmine as LM
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").where(
+        F.col("event_type") == "error"
+    )
+    b = LM.error_burst(
+        ev, entity_col="user_id", ts_col="ts", bucket="hour",
+        threshold_num=3, threshold_den=2,
+    )
+    return b.select(
+        "entity",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        "n_events",
+        "ratio_ppm",
+    )
+
+
+def _oracle_error_burst() -> str:
+    return """
+    WITH r AS (SELECT user_id AS entity, date_trunc('hour', ts) AS b,
+                      count(*)::BIGINT AS n_events
+               FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+    t AS (SELECT entity, sum(n_events)::BIGINT AS total,
+                 count(*)::BIGINT AS nb
+          FROM r GROUP BY 1)
+    SELECT r.entity::BIGINT AS entity,
+           strftime(r.b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           r.n_events AS n_events,
+           floor(r.n_events * t.nb * 1e6 / t.total + 0.5)::BIGINT AS ratio_ppm
+    FROM r JOIN t USING (entity)
+    WHERE r.n_events * t.nb * 2 > 3 * t.total
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -3700,6 +3860,9 @@ def queries():
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "tokens_roundtrip": q_tokens_roundtrip,
+        "log_templates": q_log_templates,
+        "template_drift": q_template_drift,
+        "error_burst": q_error_burst,
     }
 
 
@@ -3784,4 +3947,7 @@ def oracle_sql():
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
+        "log_templates": _oracle_log_templates(),
+        "template_drift": _oracle_template_drift(),
+        "error_burst": _oracle_error_burst(),
     }
