@@ -3623,6 +3623,60 @@ def _oracle_token_pack() -> str:
     """
 
 
+def q_token_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters on the token table: duplicate
+    bigram/trigram ppm + longest same-token run, all per-row HOF
+    expressions (no shuffle, no Python)."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return TK.token_repetition_stats(toked)
+
+
+def _oracle_token_repetition() -> str:
+    return """
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    base AS (SELECT doc_id, codes, len(codes)::BIGINT AS n FROM tok),
+    grams AS (SELECT doc_id, n,
+            CASE WHEN n >= 2 THEN list_transform(range(1, n::INT),
+                i -> codes[i]::VARCHAR || ',' || codes[i+1]::VARCHAR)
+              ELSE [] END AS bi,
+            CASE WHEN n >= 3 THEN list_transform(range(1, (n-1)::INT),
+                i -> codes[i]::VARCHAR || ',' || codes[i+1]::VARCHAR
+                     || ',' || codes[i+2]::VARCHAR)
+              ELSE [] END AS tri
+        FROM base),
+    flat AS (SELECT doc_id, unnest(codes) AS t,
+                    generate_subscripts(codes, 1) AS idx FROM tok),
+    marks AS (SELECT doc_id, idx,
+            CASE WHEN lag(t) OVER (PARTITION BY doc_id ORDER BY idx) = t
+                 THEN 0 ELSE 1 END AS brk
+        FROM flat),
+    grp AS (SELECT doc_id,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS g
+            FROM marks),
+    runs AS (SELECT doc_id, g, count(*)::BIGINT AS rl FROM grp GROUP BY 1, 2),
+    mr AS (SELECT doc_id, max(rl)::BIGINT AS max_run FROM runs GROUP BY 1)
+    SELECT grams.doc_id::BIGINT AS doc_id, grams.n AS n_tok,
+        CASE WHEN len(bi) > 0 THEN
+          floor((len(bi) - len(list_distinct(bi))) * 1e6 / len(bi) + 0.5)::BIGINT
+          ELSE NULL END AS dup_bigram_ppm,
+        CASE WHEN len(tri) > 0 THEN
+          floor((len(tri) - len(list_distinct(tri))) * 1e6 / len(tri) + 0.5)::BIGINT
+          ELSE NULL END AS dup_trigram_ppm,
+        coalesce(mr.max_run, 0)::BIGINT AS max_run
+    FROM grams LEFT JOIN mr USING (doc_id)
+    """
+
+
 # --- log template mining / drift / burst (ops.logmine) ----------------
 
 # Four syslog-ish message shapes with embedded variable fields; the
@@ -3860,6 +3914,7 @@ def queries():
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "tokens_roundtrip": q_tokens_roundtrip,
+        "token_repetition": q_token_repetition,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -3947,6 +4002,7 @@ def oracle_sql():
         "multimodal_resize": _oracle_multimodal_resize(),
         "multimodal_frames": _oracle_multimodal_frames(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
+        "token_repetition": _oracle_token_repetition(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

@@ -346,6 +346,90 @@ def token_oov_stats(
     )
 
 
+def _ngram_strs(tokens: Column, n: int) -> Column:
+    """Comma-joined decimal n-gram strings over a token array —
+    unambiguous ("5,67" can never collide with "56,7") and cheap to
+    list_distinct on both engines. Empty array for sequences shorter
+    than n."""
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda j: F.element_at(tokens, i + j + 1).cast("string"),
+                ),
+                ",",
+            ),
+        )
+    )
+
+
+def _dup_ppm(grams: Column) -> Column:
+    """Duplicate-n-gram fraction in integer ppm:
+    floor((|grams| - |distinct|) * 1e6 / |grams| + 0.5); NULL when the
+    sequence is too short to have any n-gram (no signal ≠ zero
+    repetition)."""
+    n_all = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    return F.when(n_all <= 0, F.lit(None).cast("long")).otherwise(
+        F.floor((n_all - n_dist) * F.lit(1_000_000) / n_all + F.lit(0.5)).cast("long")
+    )
+
+
+def token_repetition_stats(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters DIRECTLY on the token table:
+    per-sequence duplicate-bigram / duplicate-trigram fractions
+    (integer ppm) and the longest run of one repeated token id.
+
+    The text path's `textops.repetition_stats` answers this for raw
+    documents; at 10^12-sequence scale the corpus only exists
+    pre-tokenized, so the filter must run on token ids without
+    detokenising. A run of the same token id is the tokenized shadow
+    of degenerate text ("!!!!…", padding loops), and a high duplicate
+    n-gram fraction flags boilerplate/loops the exact-dedup
+    fingerprint can't see.
+
+    Scale shape: a pure narrow transform — n-gram construction,
+    array_distinct and the run-length fold are all per-row Catalyst
+    HOF expressions, NO shuffle, NO Python, so the op fuses into
+    whatever scan or filter stage consumes it. Row cost is O(n_tok·n)
+    with short-lived per-row arrays (the n-gram strings), bounded by
+    the chunker's context-window cap upstream.
+
+    max_run uses a single aggregate() fold with (prev, run, best)
+    struct state — initial prev is NULL so the first element compares
+    not-equal and starts a run of 1; empty sequences report 0.
+    """
+    toks = F.col(tokens_col)
+    fold = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(None).cast("int").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tok"),
+        _dup_ppm(_ngram_strs(toks, 2)).alias("dup_bigram_ppm"),
+        _dup_ppm(_ngram_strs(toks, 3)).alias("dup_trigram_ppm"),
+        fold.cast("long").alias("max_run"),
+    )
+
+
 def token_zipf_fit(
     df: DataFrame, tokens_col: str = "tokens", top_v: int = 64
 ) -> DataFrame:

@@ -180,3 +180,47 @@ def test_dsir_plan_broadcasts_weights(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+
+
+def _rep_replica(tokens):
+    """Pure-Python replica of token_repetition_stats for one row."""
+    def dup_ppm(n):
+        grams = [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+        if not grams:
+            return None
+        return math.floor((len(grams) - len(set(grams))) * 1e6 / len(grams) + 0.5)
+
+    best = run = 0
+    prev = object()
+    for t in tokens:
+        run = run + 1 if t == prev else 1
+        best = max(best, run)
+        prev = t
+    return (len(tokens), dup_ppm(2), dup_ppm(3), best)
+
+
+def test_token_repetition_matches_replica(spark):
+    rows = [
+        (1, [5, 5, 5, 5]),            # one run of 4, all bigrams equal
+        (2, [1, 2, 1, 2, 1, 2]),      # alternating: dup bigrams, no runs
+        (3, [1, 2, 3, 4, 5]),         # all distinct
+        (4, [7]),                     # too short for any n-gram
+        (5, []),                      # empty
+        (6, [9, 9]),                  # exactly one bigram, no trigram
+    ]
+    out = {
+        r["doc_id"]: (r["n_tok"], r["dup_bigram_ppm"], r["dup_trigram_ppm"], r["max_run"])
+        for r in TK.token_repetition_stats(_df(spark, rows)).collect()
+    }
+    for doc_id, toks in rows:
+        assert out[doc_id] == _rep_replica(toks), doc_id
+
+
+def test_token_repetition_no_shuffle(spark):
+    df = TK.token_repetition_stats(_df(spark, [(1, [1, 2, 3])]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
