@@ -1219,24 +1219,23 @@ _WITNESS_FIRST = [
     "quality_classifier", "token_dedup", "token_neardup", "dsir_select",
     "dsir_curation",
     # new this session: context-window chunking, token-level
-    # decontamination, vocabulary/OOV coverage, materialized packing
+    # decontamination, vocabulary/OOV coverage, materialized packing,
+    # Zipf fit, repetition filters, log-template mining family
     "token_chunks", "token_decontam", "token_oov", "token_pack",
-    "token_zipf",
+    "token_zipf", "token_repetition", "log_templates", "template_drift",
+    "error_burst",
     # the reference's core contract — r3-green, absent from r4's window
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",
     "route_counts_rollup", "walltime_memory", "host_list",
     "enrich_broadcast", "json_encode_snoopy", "json_input",
     "json_fields_projection",
-    # ops entries last witnessed in r3 (multimodal_frames,
-    # multimodal_resize and bm25_topk rotate out to keep the list at
-    # the driver's 50-entry window; all are r3-green and unchanged
-    # since — bm25's CHANGED variant, bm25_indexed, is near the front)
-    "multimodal_features", "tokens_roundtrip",
-    # r4-green but code changed this round — re-witness
+    # r4-green but code changed this round — re-witness. Rotated OUT
+    # to stay at exactly 50: multimodal_features / tokens_roundtrip
+    # (r1-r3 green, unchanged) and the two composed flagships
+    # training_pipeline / curation_pipeline (r4-green; every component
+    # op they compose is individually witnessed above).
     "ann_recall", "embedding_neardup", "winnow_fp",
-    # composed flagships
-    "training_pipeline", "curation_pipeline",
 ]
 
 
