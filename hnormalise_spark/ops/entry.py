@@ -3677,7 +3677,79 @@ def _oracle_token_repetition() -> str:
     """
 
 
+def q_stratified_take(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-(source, lang) quota sampling: precisely min(5, |cell|)
+    docs per cell, chosen by md5-hash rank — balanced-eval-set carving
+    as a query. One stratum-keyed shuffle; rank window inside cells."""
+    from hnormalise_spark.ops import sampling as S
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source", "lang", F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return S.stratified_take(docs, 5, ["source", "lang"], "doc_id")
+
+
+def _oracle_stratified_take() -> str:
+    return """
+    WITH ranked AS (
+      SELECT doc_id::BIGINT AS doc_id, source, lang, n_chars::BIGINT AS n_chars,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|take'), 1, 15))::BIGINT ASC,
+                        doc_id::VARCHAR ASC
+             ) AS rk
+      FROM documents)
+    SELECT doc_id, source, lang, n_chars FROM ranked WHERE rk <= 5
+    """
+
+
+def q_source_token_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-distribution KL divergence from the corpus
+    mixture (integer micro-nats) — mixture drift monitoring over the
+    pre-tokenized table. One corpus-sized (source, token) count
+    shuffle; the KL itself runs on the observed source x vocab table."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+    )
+    toked = docs.select("source", _codepoint_tokens().alias("tokens"))
+    return TK.source_token_kl(toked)
+
+
+def _oracle_source_token_kl() -> str:
+    return """
+    WITH tok AS (SELECT source,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    st AS (SELECT source, token, count(*)::BIGINT AS c_st
+           FROM (SELECT source, unnest(codes) AS token FROM tok)
+           GROUP BY 1, 2),
+    per_source AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+    per_token AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+    grand AS (SELECT sum(n_s)::BIGINT AS n_total FROM per_source)
+    SELECT st.source, sum(c_st)::BIGINT AS n_tok,
+           count(*)::BIGINT AS n_vocab_src,
+           sum(floor(
+             (c_st::DOUBLE / n_s::DOUBLE)
+             * ln((c_st::DOUBLE * n_total::DOUBLE) / (n_s::DOUBLE * c_t::DOUBLE))
+             * 1000000.0 + 0.5)::BIGINT)::BIGINT AS kl_x1e6
+    FROM st
+    JOIN per_source USING (source)
+    JOIN per_token USING (token)
+    CROSS JOIN grand
+    GROUP BY 1
+    """
+
+
 # --- log template mining / drift / burst (ops.logmine) ----------------
+
 
 # Four syslog-ish message shapes with embedded variable fields; the
 # masked skeletons below are what mine_templates must recover. The
@@ -3915,6 +3987,8 @@ def queries():
         "multimodal_frames": q_multimodal_frames,
         "tokens_roundtrip": q_tokens_roundtrip,
         "token_repetition": q_token_repetition,
+        "stratified_take": q_stratified_take,
+        "source_token_kl": q_source_token_kl,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -4003,6 +4077,8 @@ def oracle_sql():
         "multimodal_frames": _oracle_multimodal_frames(),
         "tokens_roundtrip": _oracle_tokens_roundtrip(),
         "token_repetition": _oracle_token_repetition(),
+        "stratified_take": _oracle_stratified_take(),
+        "source_token_kl": _oracle_source_token_kl(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

@@ -96,6 +96,60 @@ def stratified_hash_sample(
     return df.filter(u < rate)
 
 
+def key_hash_long(key: Column, salt: str = "") -> Column:
+    """The raw 60-bit md5 rank behind key_hash_unit, as a long — use
+    when rows must be ORDERED by hash (quota ranking) rather than
+    thresholded: comparing longs is exact, while the /2^60 double of
+    key_hash_unit could in principle collapse adjacent ranks."""
+    hashed = key.cast("string")
+    if salt:
+        hashed = F.concat(hashed, F.lit("|" + salt))
+    return F.conv(F.substring(F.md5(hashed), 1, 15), 16, 10).cast("long")
+
+
+def stratified_take(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_cols: list[str],
+    key_col: str,
+    salt: str = "take",
+) -> DataFrame:
+    """EXACT per-stratum quota: keep precisely ``min(n, |stratum|)``
+    rows from every stratum, chosen by md5-hash rank — how balanced
+    eval sets and per-(source, lang) capped mixtures are actually
+    built. stratified_hash_sample keeps a RATE (so small strata can
+    end up empty and quotas drift with |stratum|); this keeps a
+    COUNT, deterministically: rank rows inside each stratum by
+    (hash(key), key) ascending and take the first n. Adding rows to a
+    stratum only ever displaces the highest-ranked kept rows — the
+    sample is stable under appends, like every hash carve in this
+    module.
+
+    Scale shape: ONE hash-partitioned shuffle on the stratum columns;
+    the rank is a window row_number inside each stratum, so per-task
+    memory is one stratum's rows (strata are assumed numerous and
+    individually bounded — for a handful of giant strata use
+    stratified_hash_sample with rate ≈ n/|stratum| instead, which
+    never shuffles). The (hash, key) tiebreak makes the result a pure
+    function of the data; the salt decorrelates the ranking from any
+    rate-based carve on the same key.
+    """
+    from pyspark.sql import Window
+
+    rank_w = (
+        Window.partitionBy(*[F.col(c) for c in stratum_cols])
+        .orderBy(
+            key_hash_long(F.col(key_col), salt=salt).asc(),
+            F.col(key_col).cast("string").asc(),
+        )
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= F.lit(int(n_per_stratum)))
+        .drop("_rk")
+    )
+
+
 def budget_select(
     df: DataFrame,
     budget_tokens: int,

@@ -430,6 +430,69 @@ def token_repetition_stats(
     )
 
 
+def source_token_kl(
+    df: DataFrame, tokens_col: str = "tokens", source_col: str = "source"
+) -> DataFrame:
+    """Per-source token-distribution drift: KL(P_source || Q_corpus)
+    over unigram token frequencies, in integer micro-nats. The
+    mixture-monitoring counterpart of token_zipf_fit — when one
+    source's KL jumps between snapshots, its content shifted relative
+    to the blend the model is actually trained on (KL against the
+    corpus mixture is the textbook importance-sampling gap; DSIR uses
+    the same quantity doc-wise, this is the source-wise rollup).
+
+    KL, not JS: every token a source emits also exists in the corpus
+    mixture (q > 0 always), so only (source, token) pairs that OCCUR
+    contribute — no source × vocab cross-materialisation, which is
+    what makes the JS variant unshippable at 10^12 sequences.
+
+    Cross-engine determinism (the token_zipf pattern): counts are
+    exact ints; each pair's term p·ln(p·N/(n_s·q_cnt)) is evaluated in
+    double with ONE fixed operation order, floored to micro-nats, and
+    only integer micro-nat terms are summed — so partitioning and
+    summation order cannot move the result, and a DuckDB oracle
+    replays it bit-for-bit.
+
+    Scale shape: ONE corpus-sized shuffle — the (source, token)
+    count aggregate with map-side partial combine (the explode feeds
+    straight into a hash aggregate, so the wire carries vocab-bounded
+    partials per task, not tokens). Everything after runs on the
+    (source × observed-vocab) table: two small rollups (per-source
+    totals, per-token corpus counts) broadcast back onto it, then a
+    per-source sum. Output is |sources| rows. The plan references the
+    (source, token) aggregate three times, but deliberately WITHOUT a
+    persist barrier: AQE's ReuseExchange canonicalizes the identical
+    shuffle subtrees (final plan shows 3 ReusedExchange), so the
+    corpus is exploded once — measured faster than an explicit
+    .persist() of the intermediate at sf0.1.
+    """
+    st = (
+        df.select(F.col(source_col).alias("source"), F.explode(tokens_col).alias("token"))
+        .filter(F.col("token").isNotNull())
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    per_source = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    per_token = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    grand = per_source.agg(F.sum("n_s").alias("n_total"))
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    ratio = (F.col("c_st").cast("double") * F.col("n_total").cast("double")) / (
+        F.col("n_s").cast("double") * F.col("c_t").cast("double")
+    )
+    term = F.floor(p * F.log(ratio) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return (
+        st.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(per_token), "token")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("long").alias("n_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_vocab_src"),
+            F.sum(term).cast("long").alias("kl_x1e6"),
+        )
+    )
+
+
 def token_zipf_fit(
     df: DataFrame, tokens_col: str = "tokens", top_v: int = 64
 ) -> DataFrame:

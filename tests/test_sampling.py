@@ -221,3 +221,42 @@ def test_budget_select_matches_naive_prefix_randomized(spark):
             expect.add(i)
         got = {r["doc_id"] for r in budget_select(df, budget).collect()}
         assert got == expect, f"budget={budget}"
+
+
+def _rank60(key, salt: str) -> int:
+    s = str(key) + "|" + salt
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_stratified_take_exact_quota(spark):
+    # 3 strata: sizes 10, 4, 1 — quota 4 keeps exactly min(4, size)
+    rows = [(i, "a" if i < 10 else ("b" if i < 14 else "c")) for i in range(15)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = S.stratified_take(df, 4, ["stratum"], "doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["stratum"], []).append(r["doc_id"])
+    assert len(got["a"]) == 4 and len(got["b"]) == 4 and got["c"] == [14]
+    # the kept rows are the 4 lowest (hash, key) ranks in each stratum
+    for stratum, ids in [("a", range(10)), ("b", range(10, 14))]:
+        want = sorted(ids, key=lambda i: (_rank60(i, "take"), str(i)))[:4]
+        assert sorted(got[stratum]) == sorted(want)
+
+
+def test_stratified_take_stable_under_append(spark):
+    # appending rows only displaces highest-ranked kept rows: the new
+    # kept set is a subset of old_kept + new_rows (no resurrection)
+    base = [(i, "s") for i in range(20)]
+    df0 = spark.createDataFrame(base, "doc_id long, stratum string")
+    kept0 = {r["doc_id"] for r in S.stratified_take(df0, 8, ["stratum"], "doc_id").collect()}
+    df1 = spark.createDataFrame(base + [(i, "s") for i in range(20, 30)],
+                                "doc_id long, stratum string")
+    kept1 = {r["doc_id"] for r in S.stratified_take(df1, 8, ["stratum"], "doc_id").collect()}
+    assert len(kept0) == len(kept1) == 8
+    assert kept1 <= kept0 | set(range(20, 30))
+
+
+def test_stratified_take_single_exchange(spark):
+    df = spark.createDataFrame([(1, "x", "y")], "doc_id long, a string, b string")
+    plan = S.stratified_take(df, 2, ["a", "b"], "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

@@ -224,3 +224,56 @@ def test_token_repetition_no_shuffle(spark):
     df = TK.token_repetition_stats(_df(spark, [(1, [1, 2, 3])]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per-source KL drift
+
+
+def test_source_token_kl_matches_replica(spark):
+    rows = [
+        (1, "a", [1, 1, 2]),
+        (2, "a", [2, 3]),
+        (3, "b", [3, 3, 3, 4]),
+        (4, "b", []),          # contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    out = {r["source"]: (r["n_tok"], r["n_vocab_src"], r["kl_x1e6"])
+           for r in TK.source_token_kl(df).collect()}
+
+    # pure-Python replica with the same fixed operation order
+    from collections import Counter
+    st = Counter()
+    for _, src, toks in rows:
+        for t in toks:
+            st[(src, t)] += 1
+    n_s = Counter(); c_t = Counter()
+    for (src, t), c in st.items():
+        n_s[src] += c; c_t[t] += c
+    n_total = sum(n_s.values())
+    want = {}
+    for src in n_s:
+        pairs = [(t, c) for (s2, t), c in st.items() if s2 == src]
+        kl = sum(math.floor((c / n_s[src])
+                            * math.log((c * n_total) / (n_s[src] * c_t[t]))
+                            * 1e6 + 0.5) for t, c in pairs)
+        want[src] = (n_s[src], len(pairs), kl)
+    assert out == want
+
+
+def test_source_token_kl_identical_sources_have_zero_kl(spark):
+    # every source emits the same distribution → p == q → ln(1) == 0
+    rows = [(i, f"s{i % 3}", [1, 2, 2]) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    assert all(r["kl_x1e6"] == 0 for r in TK.source_token_kl(df).collect())
+
+
+def test_source_token_kl_is_nonnegative_and_partition_invariant(spark):
+    rows = [(i, f"s{i % 4}", [i % 7, (i * 3) % 5, 1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+    a = sorted(map(tuple, TK.source_token_kl(df).collect()))
+    b = sorted(map(tuple, TK.source_token_kl(df.repartition(7)).collect()))
+    assert a == b
+    # Gibbs: KL >= 0 (micro-nat rounding can touch 0 but never go below
+    # by more than per-term rounding; on this data it stays >= 0)
+    assert all(t[-1] >= 0 for t in a)
