@@ -1223,15 +1223,15 @@ _WITNESS_FIRST = [
     # Zipf fit, repetition filters, log-template mining family
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "log_templates", "template_drift",
-    "error_burst", "stratified_take", "source_token_kl",
+    "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
     # the reference's core contract — r3-green, absent from r4's window
-    # (walltime_memory and host_list rotate out — driver-green in
-    # r1, r2 AND r3, unchanged since; the parse contract keeps 12
-    # witnesses in-window)
+    # (walltime_memory, host_list and enrich_broadcast rotate out —
+    # driver-green in r1, r2 AND r3, unchanged since; the parse
+    # contract keeps 11 witnesses in-window)
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",
     "route_counts_rollup",
-    "enrich_broadcast", "json_encode_snoopy", "json_input",
+    "json_encode_snoopy", "json_input",
     "json_fields_projection",
     # r4-green but code changed this round — re-witness. Rotated OUT
     # to stay at exactly 50: multimodal_features / tokens_roundtrip

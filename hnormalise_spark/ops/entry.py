@@ -3748,7 +3748,60 @@ def _oracle_source_token_kl() -> str:
     """
 
 
+def q_vocab_remap(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary truncation + dense id remap: top-32 tokens become
+    ids 1..32 by frequency rank, everything else collapses to unk=0;
+    arrays compared as comma-joined strings (the token_chunks oracle
+    convention). One corpus shuffle; vocab rank is a bounded window."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    vocab = TK.vocab_top_tokens(toked, top_v=32)
+    out = TK.vocab_remap(toked, vocab)
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform("tokens", lambda t: t.cast("string")), ",")
+        .alias("tokens_str"),
+        "n_tok",
+        "n_unk",
+    )
+
+
+def _oracle_vocab_remap() -> str:
+    return """
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    freq AS (SELECT token, count(*)::BIGINT AS freq
+             FROM (SELECT unnest(codes) AS token FROM tok) GROUP BY 1),
+    ranked AS (SELECT token,
+                 row_number() OVER (ORDER BY freq DESC, token ASC) AS nid
+               FROM freq),
+    vocab AS (SELECT token, nid::INT AS nid FROM ranked WHERE nid <= 32),
+    flat AS (SELECT doc_id, unnest(codes) AS t,
+                    generate_subscripts(codes, 1) AS idx FROM tok),
+    mapped AS (SELECT doc_id, idx, coalesce(v.nid, 0) AS nid,
+                      (v.nid IS NULL)::BIGINT AS unk
+               FROM flat LEFT JOIN vocab v ON flat.t = v.token),
+    agg AS (SELECT doc_id,
+                   array_to_string(list(nid ORDER BY idx), ',') AS tokens_str,
+                   count(*)::BIGINT AS n_tok, sum(unk)::BIGINT AS n_unk
+            FROM mapped GROUP BY 1)
+    SELECT doc_id::BIGINT AS doc_id, tokens_str, n_tok, n_unk FROM agg
+    UNION ALL
+    SELECT doc_id::BIGINT, '', 0::BIGINT, 0::BIGINT
+    FROM tok WHERE len(codes) = 0
+    """
+
+
 # --- log template mining / drift / burst (ops.logmine) ----------------
+
 
 
 # Four syslog-ish message shapes with embedded variable fields; the
@@ -3989,6 +4042,7 @@ def queries():
         "token_repetition": q_token_repetition,
         "stratified_take": q_stratified_take,
         "source_token_kl": q_source_token_kl,
+        "vocab_remap": q_vocab_remap,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -4079,6 +4133,7 @@ def oracle_sql():
         "token_repetition": _oracle_token_repetition(),
         "stratified_take": _oracle_stratified_take(),
         "source_token_kl": _oracle_source_token_kl(),
+        "vocab_remap": _oracle_vocab_remap(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

@@ -346,6 +346,77 @@ def token_oov_stats(
     )
 
 
+def vocab_remap(
+    df: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = 0,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    token_col: str = "token",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Vocabulary truncation + id remapping: rewrite every token array
+    through a pruned top-V vocabulary — kept tokens get DENSE new ids
+    1..V assigned by frequency rank (freq DESC, token ASC — the
+    vocab_top_tokens order, so the hottest token becomes id 1),
+    everything else collapses to ``unk_id`` (reserved at 0). The step
+    between vocabulary selection (vocab_top_tokens / token_oov_stats
+    report what a cut costs) and training, which needs the compact id
+    space. Returns (id, tokens, n_tok, n_unk) with order preserved.
+
+    Scale shape: rank assignment is a single-partition window over the
+    ≤ V vocab rows (bounded, like token_zipf's fit); the corpus side
+    establishes doc partitioning BEFORE posexplode, broadcast-hash-
+    joins the rank table (O(1) lookup per token — deliberately NOT an
+    element_at on a map column, whose ArrayBasedMapData lookup is
+    O(V) per token), and reassembles with array_sort over
+    (pos, new_id) structs in a doc-keyed aggregate that reuses the
+    pre-explode partitioning — ONE corpus shuffle total, the token
+    arrays cross the wire exactly once.
+    """
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.col(freq_col).desc(), F.col(token_col).asc())
+    ranked = vocab.select(
+        F.col(token_col).alias("_tok"),
+        F.row_number().over(rank_w).cast("int").alias("_nid"),
+    )
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    base = (
+        df.filter(F.col(tokens_col).isNotNull())
+        .select(F.col(id_col).alias("_doc"), clean.alias("_t"))
+        .repartition(F.col("_doc"))
+    )
+    tok = base.select("_doc", F.posexplode("_t").alias("_pos", "_tok"))
+    mapped = tok.join(F.broadcast(ranked), "_tok", "left").select(
+        "_doc",
+        F.struct(
+            F.col("_pos"),
+            F.coalesce(F.col("_nid"), F.lit(int(unk_id)).cast("int")).alias("_nid"),
+        ).alias("_e"),
+        F.col("_nid").isNull().cast("long").alias("_unk"),
+    )
+    out = mapped.groupBy("_doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list("_e")), lambda e: e["_nid"]
+        ).alias(tokens_col),
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.sum("_unk").cast("long").alias("n_unk"),
+    )
+    # empty (but non-null) sequences produce no exploded rows — union
+    # them back with an empty remap so the op is total over its input
+    empties = (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(clean) == 0))
+        .select(
+            F.col(id_col).alias("_doc"),
+            F.array().cast("array<int>").alias(tokens_col),
+            F.lit(0).cast("long").alias("n_tok"),
+            F.lit(0).cast("long").alias("n_unk"),
+        )
+    )
+    return out.unionByName(empties).withColumnRenamed("_doc", id_col)
+
+
 def _ngram_strs(tokens: Column, n: int) -> Column:
     """Comma-joined decimal n-gram strings over a token array —
     unambiguous ("5,67" can never collide with "56,7") and cheap to

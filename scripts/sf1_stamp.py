@@ -42,6 +42,12 @@ LEGS = [
     # round-5 documents-table additions
     "quality_classifier", "token_dedup", "token_neardup",
     "dsir_select", "dsir_curation",
+    # late round-5 documents-table additions (tokenops suite +
+    # sampling/drift; log_templates family reads orders.parquet,
+    # which the sf1 blow-up doesn't replicate, so it stays out)
+    "token_chunks", "token_decontam", "token_oov", "token_pack",
+    "token_zipf", "token_repetition", "stratified_take",
+    "source_token_kl",
 ]
 REPLICAS = 10
 

@@ -277,3 +277,38 @@ def test_source_token_kl_is_nonnegative_and_partition_invariant(spark):
     # Gibbs: KL >= 0 (micro-nat rounding can touch 0 but never go below
     # by more than per-term rounding; on this data it stays >= 0)
     assert all(t[-1] >= 0 for t in a)
+
+
+# ---------------------------------------------------------------------------
+# vocab remap
+
+
+def test_vocab_remap_dense_ids_and_unk(spark):
+    rows = [
+        (1, [7, 7, 7, 5, 5, 9]),   # corpus freq: 7->3, 5->3 (one more below)
+        (2, [5, 42]),              # 42 outside top-2 vocab -> unk
+        (3, []),                   # empty survives as empty
+    ]
+    df = _df(spark, rows)
+    # freq tie 5==7==3 -> token-ASC tiebreak: 5 gets id 1, 7 gets id 2
+    vocab = TK.vocab_top_tokens(df, top_v=2)
+    out = {r["doc_id"]: (r["tokens"], r["n_tok"], r["n_unk"])
+           for r in TK.vocab_remap(df, vocab).collect()}
+    assert out[1] == ([2, 2, 2, 1, 1, 0], 6, 1)   # 9 -> unk, order kept
+    assert out[2] == ([1, 0], 2, 1)
+    assert out[3] == ([], 0, 0)
+
+
+def test_vocab_remap_rank_tiebreak_token_asc(spark):
+    # equal freq -> lower token id wins the lower rank
+    df = _df(spark, [(1, [3, 8]), (2, [8, 3])])
+    out = TK.vocab_remap(df, TK.vocab_top_tokens(df, top_v=2)).collect()
+    m = {r["doc_id"]: r["tokens"] for r in out}
+    assert m[1] == [1, 2] and m[2] == [2, 1]
+
+
+def test_vocab_remap_plan_broadcasts_vocab(spark):
+    df = _df(spark, [(1, [1, 2, 3])])
+    vocab = spark.createDataFrame([(1, 10), (2, 5)], "token int, freq long")
+    plan = TK.vocab_remap(df, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
