@@ -1224,13 +1224,13 @@ _WITNESS_FIRST = [
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "log_templates", "template_drift",
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
+    "length_buckets",
     # the reference's core contract — r3-green, absent from r4's window
-    # (walltime_memory, host_list and enrich_broadcast rotate out —
-    # driver-green in r1, r2 AND r3, unchanged since; the parse
-    # contract keeps 11 witnesses in-window)
+    # (walltime_memory, host_list, enrich_broadcast and
+    # route_counts_rollup rotate out — driver-green in prior rounds,
+    # unchanged since; the parse contract keeps 10 witnesses in-window)
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
     "parse_lmod", "parse_shorewall", "envelope", "route_counts",
-    "route_counts_rollup",
     "json_encode_snoopy", "json_input",
     "json_fields_projection",
     # r4-green but code changed this round — re-witness. Rotated OUT

@@ -3800,7 +3800,53 @@ def _oracle_vocab_remap() -> str:
     """
 
 
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch assembly + padding-waste report: buckets
+    of 64 tokens, batches of 8, 4 hash shards. One (bucket, shard)
+    shuffle; the batch-max window reuses the same partitioning."""
+    from hnormalise_spark.ops import packing as PK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return PK.length_bucket_batches(
+        toked, bucket_width=64, batch_size=8, shards=4
+    )
+
+
+def _oracle_length_buckets() -> str:
+    span = float(1 << 60)
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                 ELSE length(text) END AS n_tok
+          FROM documents),
+    base AS (SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok,
+               ((n_tok - 1) // 64)::INT AS bucket,
+               floor(('0x' || substr(md5(doc_id::VARCHAR || '|lbb'), 1, 15))::BIGINT
+                     / {span!r} * 4)::INT AS shard
+             FROM tok WHERE n_tok > 0),
+    ranked AS (SELECT *,
+               ((row_number() OVER (PARTITION BY bucket, shard
+                                    ORDER BY doc_id ASC) - 1) // 8)::BIGINT
+                 AS batch_idx
+             FROM base)
+    SELECT doc_id, n_tok, bucket, shard, batch_idx,
+           max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx)::BIGINT
+             AS batch_max_len,
+           floor((max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx) - n_tok)
+                 * 1000000
+                 / max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx)
+                 + 0.5)::BIGINT AS pad_ppm
+    FROM ranked
+    """
+
+
 # --- log template mining / drift / burst (ops.logmine) ----------------
+
 
 
 
@@ -4043,6 +4089,7 @@ def queries():
         "stratified_take": q_stratified_take,
         "source_token_kl": q_source_token_kl,
         "vocab_remap": q_vocab_remap,
+        "length_buckets": q_length_buckets,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -4134,6 +4181,7 @@ def oracle_sql():
         "stratified_take": _oracle_stratified_take(),
         "source_token_kl": _oracle_source_token_kl(),
         "vocab_remap": _oracle_vocab_remap(),
+        "length_buckets": _oracle_length_buckets(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

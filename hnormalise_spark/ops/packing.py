@@ -70,6 +70,65 @@ def pack_sequences(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    shards: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assembly with a per-row padding-waste
+    report — the PADDED-batch counterpart of pack_sequences (packing
+    concatenates; inference, finetuning and any pipeline that must
+    keep sequences intact instead pads, and pays max(batch) - len per
+    row). Sequences land in length buckets of ``bucket_width`` tokens,
+    are ranked inside (bucket, shard) by id, and every ``batch_size``
+    consecutive ranks form one batch. Emits per sequence: ``n_tok``,
+    ``bucket``, ``shard``, ``batch_idx`` (rank // batch_size inside
+    the bucket-shard), ``batch_max_len`` (the batch's padded length)
+    and ``pad_ppm`` (this row's padding fraction of the padded slot,
+    integer ppm). Zero-length sequences are excluded (nothing to
+    batch).
+
+    Scale shape: ONE shuffle keyed (bucket, shard). A bucket holds
+    every similar-length sequence in the corpus — at 10^12 rows that
+    is billions per bucket, so ranking directly per bucket would
+    serialize each bucket onto one task; the salted hash shard (the
+    pack_sequences two-level trick) bounds every window partition at
+    1/shards of a bucket while keeping batches deterministic and
+    length-homogeneous. batch_max_len is a second window over the
+    SAME partitioning (no extra Exchange). Order inside a shard is
+    ascending id — engine-portable, re-run-stable.
+    """
+    n_tok = F.size(F.filter(F.col(tokens_col), lambda t: t.isNotNull())).cast("long")
+    shard = F.floor(key_hash_unit(F.col(id_col), "lbb") * shards).cast("int")
+    base = (
+        df.select(F.col(id_col), n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("bucket", F.floor((F.col("n_tok") - 1) / bucket_width).cast("int"))
+        .withColumn("shard", shard)
+    )
+    rank_w = Window.partitionBy("bucket", "shard").orderBy(F.col(id_col).asc())
+    ranked = base.withColumn(
+        "batch_idx",
+        F.floor((F.row_number().over(rank_w) - 1) / batch_size).cast("long"),
+    )
+    batch_w = Window.partitionBy("bucket", "shard", "batch_idx")
+    return (
+        ranked.withColumn("batch_max_len", F.max("n_tok").over(batch_w))
+        .withColumn(
+            "pad_ppm",
+            F.floor(
+                (F.col("batch_max_len") - F.col("n_tok"))
+                * F.lit(1_000_000)
+                / F.col("batch_max_len")
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+
+
 def mix_sources(
     df: DataFrame,
     weights: dict[str, float],
