@@ -1224,7 +1224,7 @@ _WITNESS_FIRST = [
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "log_templates", "template_drift",
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
-    "length_buckets",
+    "length_buckets", "batch_pipeline",
     # the reference's core contract — r3-green, absent from r4's window
     # (walltime_memory, host_list, enrich_broadcast and
     # route_counts_rollup rotate out — driver-green in prior rounds,
@@ -1235,10 +1235,13 @@ _WITNESS_FIRST = [
     "json_fields_projection",
     # r4-green but code changed this round — re-witness. Rotated OUT
     # to stay at exactly 50: multimodal_features / tokens_roundtrip
-    # (r1-r3 green, unchanged) and the two composed flagships
+    # (r1-r3 green, unchanged), the composed flagships
     # training_pipeline / curation_pipeline (r4-green; every component
-    # op they compose is individually witnessed above).
-    "ann_recall", "embedding_neardup", "winnow_fp",
+    # op they compose is individually witnessed above), and
+    # embedding_neardup (green r3 AND r4; its round-5 delta — shared
+    # minhash null-element handling — is pinned by pytest and the
+    # local sweep).
+    "ann_recall", "winnow_fp",
 ]
 
 

@@ -3814,6 +3814,9 @@ def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
     return PK.length_bucket_batches(
         toked, bucket_width=64, batch_size=8, shards=4
+    ).select(
+        "doc_id", "n_tok", "bucket", "shard", "batch_idx",
+        "batch_max_len", "pad_ppm",
     )
 
 
@@ -3845,7 +3848,104 @@ def _oracle_length_buckets() -> str:
     """
 
 
+def q_batch_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed flagship #5 — tokenizer-to-padded-batches: vocabulary
+    truncation to top-32 dense ids (unk=0) -> fixed 128-token context
+    chunks -> length-bucketed batch assembly with padding report, ONE
+    oracle over the whole chain. The padded-batch counterpart of
+    training_pipeline's concat-packing path: exactly what an inference
+    or finetuning fleet runs between a raw corpus and its GPU batches.
+
+    Scale shape: remap is one doc-keyed shuffle (arrays cross the wire
+    once), chunking is narrow on top of it, batching is one
+    (bucket, shard) shuffle of CHUNK METADATA + the chunk string —
+    three corpus-sized exchanges end to end, each on a different,
+    necessary key."""
+    from hnormalise_spark.ops import packing as PK
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    remapped = TK.vocab_remap(toked, TK.vocab_top_tokens(toked, top_v=32))
+    chunks = TK.token_chunks(
+        remapped.select("doc_id", "tokens"), window=128
+    ).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_tokens").alias("tokens"),
+    )
+    out = PK.length_bucket_batches(
+        chunks, bucket_width=32, batch_size=4, shards=2, id_col="chunk_id"
+    )
+    return (
+        out.select(
+            "doc_id", "chunk_idx",
+            F.array_join(
+                F.transform("tokens", lambda t: t.cast("string")), ","
+            ).alias("chunk_str"),
+            F.col("n_tok").alias("chunk_len"),
+            "bucket", "shard", "batch_idx", "batch_max_len", "pad_ppm",
+        )
+    )
+
+
+def _oracle_batch_pipeline() -> str:
+    span = float(1 << 60)
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    freq AS (SELECT token, count(*)::BIGINT AS freq
+             FROM (SELECT unnest(codes) AS token FROM tok) GROUP BY 1),
+    ranked AS (SELECT token,
+                 row_number() OVER (ORDER BY freq DESC, token ASC) AS nid
+               FROM freq),
+    vocab AS (SELECT token, nid::INT AS nid FROM ranked WHERE nid <= 32),
+    flat AS (SELECT doc_id, unnest(codes) AS t,
+                    generate_subscripts(codes, 1) AS idx FROM tok),
+    remapped AS (SELECT doc_id, list(coalesce(v.nid, 0) ORDER BY idx) AS nids
+                 FROM flat LEFT JOIN vocab v ON flat.t = v.token
+                 GROUP BY doc_id),
+    ne AS (SELECT doc_id, nids, len(nids) AS n FROM remapped WHERE len(nids) > 0),
+    idx AS (SELECT doc_id, nids,
+              unnest(generate_series(0,
+                CASE WHEN n <= 128 THEN 0
+                     ELSE (n - 128 + 127) // 128 END)) AS i
+            FROM ne),
+    chunks AS (SELECT doc_id::BIGINT AS doc_id, i::BIGINT AS chunk_idx,
+                 (doc_id * 1000 + i)::BIGINT AS chunk_id,
+                 nids[i * 128 + 1 : i * 128 + 128] AS ctoks,
+                 len(nids[i * 128 + 1 : i * 128 + 128])::BIGINT AS n_tok
+               FROM idx),
+    base AS (SELECT *, ((n_tok - 1) // 32)::INT AS bucket,
+               floor(('0x' || substr(md5(chunk_id::VARCHAR || '|lbb'), 1, 15))::BIGINT
+                     / {span!r} * 2)::INT AS shard
+             FROM chunks WHERE n_tok > 0),
+    rk AS (SELECT *,
+             ((row_number() OVER (PARTITION BY bucket, shard
+                                  ORDER BY chunk_id ASC) - 1) // 4)::BIGINT
+               AS batch_idx
+           FROM base)
+    SELECT doc_id, chunk_idx, array_to_string(ctoks, ',') AS chunk_str,
+           n_tok AS chunk_len, bucket, shard, batch_idx,
+           max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx)::BIGINT
+             AS batch_max_len,
+           floor((max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx) - n_tok)
+                 * 1000000
+                 / max(n_tok) OVER (PARTITION BY bucket, shard, batch_idx)
+                 + 0.5)::BIGINT AS pad_ppm
+    FROM rk
+    """
+
+
 # --- log template mining / drift / burst (ops.logmine) ----------------
+
 
 
 
@@ -4090,6 +4190,7 @@ def queries():
         "source_token_kl": q_source_token_kl,
         "vocab_remap": q_vocab_remap,
         "length_buckets": q_length_buckets,
+        "batch_pipeline": q_batch_pipeline,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -4182,6 +4283,7 @@ def oracle_sql():
         "source_token_kl": _oracle_source_token_kl(),
         "vocab_remap": _oracle_vocab_remap(),
         "length_buckets": _oracle_length_buckets(),
+        "batch_pipeline": _oracle_batch_pipeline(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

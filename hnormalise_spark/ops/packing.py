@@ -84,12 +84,14 @@ def length_bucket_batches(
     keep sequences intact instead pads, and pays max(batch) - len per
     row). Sequences land in length buckets of ``bucket_width`` tokens,
     are ranked inside (bucket, shard) by id, and every ``batch_size``
-    consecutive ranks form one batch. Emits per sequence: ``n_tok``,
-    ``bucket``, ``shard``, ``batch_idx`` (rank // batch_size inside
-    the bucket-shard), ``batch_max_len`` (the batch's padded length)
-    and ``pad_ppm`` (this row's padding fraction of the padded slot,
-    integer ppm). Zero-length sequences are excluded (nothing to
-    batch).
+    consecutive ranks form one batch. All input columns pass through
+    (the batch needs its token content downstream — dropping it would
+    force the caller into a corpus-sized re-join); adds per sequence:
+    ``n_tok``, ``bucket``, ``shard``, ``batch_idx`` (rank //
+    batch_size inside the bucket-shard), ``batch_max_len`` (the
+    batch's padded length) and ``pad_ppm`` (this row's padding
+    fraction of the padded slot, integer ppm). Zero-length sequences
+    are excluded (nothing to batch).
 
     Scale shape: ONE shuffle keyed (bucket, shard). A bucket holds
     every similar-length sequence in the corpus — at 10^12 rows that
@@ -104,7 +106,7 @@ def length_bucket_batches(
     n_tok = F.size(F.filter(F.col(tokens_col), lambda t: t.isNotNull())).cast("long")
     shard = F.floor(key_hash_unit(F.col(id_col), "lbb") * shards).cast("int")
     base = (
-        df.select(F.col(id_col), n_tok.alias("n_tok"))
+        df.withColumn("n_tok", n_tok)
         .filter(F.col("n_tok") > 0)
         .withColumn("bucket", F.floor((F.col("n_tok") - 1) / bucket_width).cast("int"))
         .withColumn("shard", shard)
