@@ -47,7 +47,8 @@ LEGS = [
     # which the sf1 blow-up doesn't replicate, so it stays out)
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "stratified_take",
-    "source_token_kl",
+    "source_token_kl", "vocab_remap", "length_buckets",
+    "batch_pipeline",
 ]
 REPLICAS = 10
 
