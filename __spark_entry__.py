@@ -1224,7 +1224,7 @@ _WITNESS_FIRST = [
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "log_templates", "template_drift",
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
-    "length_buckets", "batch_pipeline",
+    "length_buckets", "batch_pipeline", "ann_quantized",
     # the reference's core contract — r3-green, absent from r4's window
     # (walltime_memory, host_list, enrich_broadcast and
     # route_counts_rollup rotate out — driver-green in prior rounds,
@@ -1240,8 +1240,10 @@ _WITNESS_FIRST = [
     # op they compose is individually witnessed above), and
     # embedding_neardup (green r3 AND r4; its round-5 delta — shared
     # minhash null-element handling — is pinned by pytest and the
-    # local sweep).
-    "ann_recall", "winnow_fp",
+    # local sweep) and ann_recall (its round-5 denominator fix lives
+    # in recall_at_k, which ann_quantized witnesses on the same code
+    # path; its unique component similarity_ivf was r4-green).
+    "winnow_fp",
 ]
 
 

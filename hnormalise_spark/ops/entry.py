@@ -716,6 +716,78 @@ def _oracle_ann_recall() -> str:
     """
 
 
+def q_ann_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@50 of int8-QUANTIZED brute-force cosine top-50 against
+    the exact fp32 top-50 — the number that decides whether the 4x
+    storage cut of quantize_embeddings is safe to ship for retrieval.
+    Dequantization (q_i * scale) uses the integer-derived
+    scale_x1e9/1e9 so both engines reconstruct bit-identical vectors;
+    scoring stays a map-side projection + TakeOrdered, recall is a
+    broadcast join of two 50-row frames."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    deq = S.quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform(
+            "q",
+            lambda x: x.cast("double")
+            * (F.col("scale_x1e9").cast("double") / F.lit(1e9)),
+        ).alias("embedding"),
+    )
+    scored = S.cosine_scores(deq, QVEC).filter(F.col("cosine").isNotNull())
+    approx = (
+        scored.select(
+            "vec_id",
+            F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), "vec_id")
+        .limit(50)
+    )
+    return S.recall_at_k(q_similarity_topk(spark, sf), approx, k=50)
+
+
+def _oracle_ann_quantized() -> str:
+    return f"""
+    WITH b AS (SELECT vec_id,
+                 embedding,
+                 list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+                   / 127.0::DOUBLE AS scale
+               FROM embeddings),
+    qz AS (SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> floor(x::DOUBLE / scale + 0.5)::INT) END AS qc,
+             floor(scale * 1000000000.0 + 0.5)::BIGINT AS scale_x1e9
+           FROM b),
+    deq AS (SELECT vec_id,
+              list_transform(qc,
+                c -> c::DOUBLE * (scale_x1e9::DOUBLE / 1000000000.0)) AS v
+            FROM qz),
+    s AS (SELECT vec_id,
+            list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                     i -> v[i] * ({_qvec_sql()})[i])) AS dot,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM deq),
+    approx AS (SELECT vec_id,
+                 floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT
+                   AS cos_x1e6
+               FROM s WHERE nrm > 0
+               ORDER BY cos_x1e6 DESC, vec_id LIMIT 50),
+    exact AS (SELECT vec_id FROM ({_oracle_similarity_topk()})),
+    hits AS (SELECT count(*) AS n FROM (SELECT DISTINCT vec_id FROM approx)
+             JOIN exact USING (vec_id)),
+    ex AS (SELECT greatest(count(*), 1) AS ne FROM exact)
+    SELECT 50::BIGINT AS k, n::BIGINT AS n_hits,
+           floor(n * 1000000.0 / ne + 0.5)::BIGINT AS recall_x1e6
+    FROM hits, ex
+    """
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (ops.sampling)
 
@@ -4191,6 +4263,7 @@ def queries():
         "vocab_remap": q_vocab_remap,
         "length_buckets": q_length_buckets,
         "batch_pipeline": q_batch_pipeline,
+        "ann_quantized": q_ann_quantized,
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
@@ -4284,6 +4357,7 @@ def oracle_sql():
         "vocab_remap": _oracle_vocab_remap(),
         "length_buckets": _oracle_length_buckets(),
         "batch_pipeline": _oracle_batch_pipeline(),
+        "ann_quantized": _oracle_ann_quantized(),
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),

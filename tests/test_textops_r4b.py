@@ -570,3 +570,45 @@ def test_tfidf_topk_no_composite_shuffle(spark):
     # vocabulary-sized term aggregate feeding the broadcast
     assert not re.search(r"hashpartitioning\(_doc#\d+L?, term", plan), plan
     assert re.search(r"hashpartitioning\(_doc#\d+L?, \d+\)", plan), plan
+
+
+def test_quantized_cosine_ranking_and_reconstruction_bound(spark):
+    """Dequantized (q * scale) vectors reconstruct within scale/2 per
+    element, and on well-separated vectors int8 scoring preserves the
+    exact cosine ranking (the ann_quantized query's premise)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hnormalise_spark.ops.similarity import cosine_scores, quantize_embeddings
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.8, 0.6, 0.0],    # cos vs [1,0,0] = 0.8
+        3: [0.0, 1.0, 0.0],    # cos = 0
+        4: [0.5, 0.5, 0.7071], # cos ~ 0.5
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    qz = quantize_embeddings(df)
+    deq = qz.select(
+        "vec_id", "embedding",
+        F.transform(
+            "q",
+            lambda x: x.cast("double") * (F.col("scale_x1e9").cast("double") / F.lit(1e9)),
+        ).alias("deq"),
+    )
+    for r in deq.collect():
+        scale = max(abs(x) for x in vecs[r["vec_id"]]) / 127.0
+        for orig, rec in zip(r["embedding"], r["deq"]):
+            # scale_x1e9 rounding adds <= 0.5e-9 per unit of |q| <= 127
+            assert abs(orig - rec) <= scale / 2 + 127 * 1e-9
+
+    q = [1.0, 0.0, 0.0]
+    exact_rank = [r["vec_id"] for r in cosine_scores(df, q)
+                  .orderBy(F.desc("cosine"), "vec_id").collect()]
+    approx_rank = [r["vec_id"] for r in cosine_scores(
+        deq.select("vec_id", F.col("deq").alias("embedding")), q)
+        .orderBy(F.desc("cosine"), "vec_id").collect()]
+    assert exact_rank == approx_rank == [1, 2, 4, 3]
