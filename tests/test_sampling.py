@@ -260,3 +260,16 @@ def test_stratified_take_single_exchange(spark):
     df = spark.createDataFrame([(1, "x", "y")], "doc_id long, a string, b string")
     plan = S.stratified_take(df, 2, ["a", "b"], "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_stratified_take_null_stratum_is_its_own_group(spark):
+    # a NULL stratum value forms one group with its own quota — it
+    # must neither crash nor leak into a named stratum
+    rows = [(i, None if i < 6 else "s") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = S.stratified_take(df, 3, ["stratum"], "doc_id").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert len(by[None]) == 3 and by[None] <= set(range(6))
+    assert len(by["s"]) == 3 and by["s"] <= set(range(6, 12))
