@@ -1238,13 +1238,14 @@ def _oracle_grok_apache() -> str:
 
 # The driver's correctness gate records only the FIRST 50 queries()
 # entries per round (CORRECTNESS_r04.json holds exactly the first 50 of
-# 77), so dict order is evidence policy, not cosmetics. Front of the
-# window: entries that have NEVER had a driver-verified row (round-4
-# verdict finding #1), then this round's new entry, then the core parse
-# contract (green in r3 but outside r4's window), then entries whose
-# implementation changed this round and need re-witnessing. The
-# long-stable r4-green ops suite fills the remainder and overflows the
-# window — rotate in future rounds.
+# the then-77), so dict order is evidence policy, not cosmetics. Final
+# (round-5) window: every entry that has NEVER had a driver-verified
+# row — the 33 flagged by the round-4 verdict plus all round-5
+# additions — then the core parse contract (green in r1-r3 but outside
+# r4's window), then winnow_fp (code changed this round). Everything
+# rotated out is driver-green in a prior round, unchanged since, and
+# still covered by pytest + the local scripts/check_oracles.py sweep
+# (every registered query PASS at sf0.01, 2026-08-19).
 _WITNESS_FIRST = [
     # never in any CORRECTNESS_r*.json
     "bpe_train", "bpe_encode", "winnow_pairs", "bm25_indexed",
