@@ -1265,15 +1265,18 @@ _WITNESS_FIRST = [
     "token_zipf", "token_repetition", "log_templates", "template_drift",
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
     "length_buckets", "batch_pipeline", "ann_quantized", "ops_triage",
+    "token_clusters", "token_lm",
     # the reference's core contract — r3-green, absent from r4's window
     # (walltime_memory, host_list, enrich_broadcast,
-    # route_counts_rollup and json_fields_projection rotate out —
-    # driver-green in prior rounds, unchanged since, byte-golden-pinned
-    # in pytest; the parse contract keeps 9 dedicated witnesses
-    # in-window plus ops_triage, which re-runs the full dispatch)
+    # route_counts_rollup, json_fields_projection, json_input and
+    # route_counts rotate out — driver-green in prior rounds,
+    # unchanged since, byte-golden-pinned in pytest; route_counts'
+    # EXACT oracle is still witnessed in-window by route_counts_salted,
+    # which shares it, and by stream_route_counts; ops_triage re-runs
+    # the full dispatch on top of the per-family parse witnesses)
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
-    "parse_lmod", "parse_shorewall", "envelope", "route_counts",
-    "json_encode_snoopy", "json_input",
+    "parse_lmod", "parse_shorewall", "envelope",
+    "json_encode_snoopy",
     # r4-green but code changed this round — re-witness. Rotated OUT
     # to stay at exactly 50: multimodal_features / tokens_roundtrip
     # (r1-r3 green, unchanged), the composed flagships

@@ -3318,6 +3318,105 @@ def _oracle_token_neardup() -> str:
     """
 
 
+def q_token_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity directly on token ids (int model keys) —
+    the lm_bigram quality filter without detokenising."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return TK.token_lm_bigram(toked)
+
+
+def _oracle_token_lm() -> str:
+    return """
+    WITH tok0 AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN []
+                 ELSE [ascii(c) FOR c IN split(text, '')] END AS codes
+          FROM documents),
+    base AS (SELECT doc_id, codes FROM tok0 WHERE len(codes) > 0),
+    tok AS (SELECT doc_id, unnest(codes) AS w,
+                   generate_subscripts(codes, 1) AS pos FROM base),
+    uni AS (SELECT w, count(*) AS c1 FROM tok GROUP BY 1),
+    st AS (SELECT sum(c1) AS t, count(*) AS v FROM uni),
+    tp AS (SELECT doc_id, pos, w,
+                  lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS p
+           FROM tok),
+    big AS (SELECT p, w, count(*) AS c2 FROM tp WHERE p IS NOT NULL GROUP BY 1, 2),
+    sc AS (SELECT tp.doc_id,
+                  CASE WHEN tp.p IS NULL
+                       THEN floor(-ln((u.c1 + 1.0) / (st.t + st.v)) * 1000000.0 + 0.5)
+                       ELSE floor(-ln((b.c2 + 1.0) / (up.c1 + st.v)) * 1000000.0 + 0.5)
+                  END::BIGINT AS nll
+           FROM tp
+           JOIN uni u ON tp.w = u.w
+           LEFT JOIN uni up ON tp.p = up.w
+           LEFT JOIN big b ON tp.p = b.p AND tp.w = b.w
+           CROSS JOIN st)
+    SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tok,
+           sum(nll)::BIGINT AS sum_nll_x1e6,
+           floor(sum(nll)::DOUBLE / count(*))::BIGINT AS mean_nll_x1e6
+    FROM sc GROUP BY 1
+    """
+
+
+def q_token_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup DECISION step on the token table: token-8-gram
+    MinHash+LSH pairs -> connected components (min-label propagation,
+    O(diameter) rounds) -> full-corpus cluster assignment with one
+    canonical keeper per cluster — the text path's dedup_clusters twin
+    over pre-tokenized sequences, so a 10^12-row corpus picks its
+    keep-set without ever detokenising."""
+    from hnormalise_spark.ops import dedup as D
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    mut = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz xx cc")).alias("text"),
+    )
+    toked = docs.unionByName(mut).select(
+        "doc_id", _codepoint_tokens().alias("tokens")
+    )
+    pairs = TK.token_minhash_dedup(toked, n=8, k=16, bands=4, threshold=0.5)
+    out = D.assign_clusters(toked.select("doc_id"), pairs, id_col="doc_id")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("is_canonical").alias("is_canonical"),
+    )
+
+
+def _oracle_token_clusters() -> str:
+    return f"""
+    WITH RECURSIVE p AS ({_oracle_token_neardup()}),
+    all_ids AS (
+      SELECT doc_id AS id FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 FROM documents WHERE doc_id % 11 = 0),
+    e AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT src AS node, dst AS r FROM e
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+    ),
+    lab AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node)
+    SELECT a.id::BIGINT AS doc_id,
+           coalesce(lab.cluster_id, a.id)::BIGINT AS cluster_id,
+           (coalesce(lab.cluster_id, a.id) = a.id) AS is_canonical
+    FROM all_ids a LEFT JOIN lab ON a.id = lab.node
+    """
+
+
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR hashed-n-gram importance scoring (Xie et al. 2023):
     target = the English slice of the corpus, raw = everything; each
@@ -4210,6 +4309,8 @@ def queries():
         "quality_classifier": q_quality_classifier,
         "token_dedup": q_token_dedup,
         "token_neardup": q_token_neardup,
+        "token_clusters": q_token_clusters,
+        "token_lm": q_token_lm,
         "token_chunks": q_token_chunks,
         "token_decontam": q_token_decontam,
         "token_oov": q_token_oov,
@@ -4300,6 +4401,8 @@ def oracle_sql():
         "quality_classifier": _oracle_quality_classifier(),
         "token_dedup": _oracle_token_dedup(),
         "token_neardup": _oracle_token_neardup(),
+        "token_clusters": _oracle_token_clusters(),
+        "token_lm": _oracle_token_lm(),
         "token_chunks": _oracle_token_chunks(),
         "token_decontam": _oracle_token_decontam(),
         "token_oov": _oracle_token_oov(),

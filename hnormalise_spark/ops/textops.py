@@ -818,7 +818,15 @@ def lm_bigram_score(
     base = df.filter(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col).alias("_doc"), toks.alias("_toks"))
+    return lm_bigram_over(base)
 
+
+def lm_bigram_over(base: DataFrame) -> DataFrame:
+    """The bigram scorer itself, over a prepared ``(_doc, _toks)``
+    frame with any token element type — string words here, int token
+    ids in ``tokenops.token_lm_bigram`` (same expressions, and int
+    model keys shuffle/broadcast cheaper than strings at 10^12 rows).
+    See lm_bigram_score for the model and scale-shape contract."""
     uni = (
         base.select(F.explode("_toks").alias("_w"))
         .groupBy("_w")

@@ -501,6 +501,28 @@ def token_repetition_stats(
     )
 
 
+def token_lm_bigram(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM perplexity scoring DIRECTLY on token ids — the
+    CCNet/ROOTS-style quality filter (textops.lm_bigram_score) over
+    the pre-tokenized shape, so a 10^12-sequence corpus scores
+    without detokenising. Same add-one-smoothed model and integer
+    micro-nat discipline via the shared textops.lm_bigram_over; the
+    model keys here are ints, which shuffle and broadcast cheaper
+    than word strings. Empty/null sequences are excluded (nothing to
+    score); null elements are dropped first (canonical schema
+    forbids them)."""
+    from hnormalise_spark.ops.textops import lm_bigram_over
+
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull())
+    base = (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(clean) > 0))
+        .select(F.col(id_col).alias("_doc"), clean.alias("_toks"))
+    )
+    return lm_bigram_over(base)
+
+
 def source_token_kl(
     df: DataFrame, tokens_col: str = "tokens", source_col: str = "source"
 ) -> DataFrame:

@@ -312,3 +312,61 @@ def test_vocab_remap_plan_broadcasts_vocab(spark):
     vocab = spark.createDataFrame([(1, 10), (2, 5)], "token int, freq long")
     plan = TK.vocab_remap(df, vocab)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bigram LM on token ids
+
+
+def test_token_lm_bigram_matches_replica(spark):
+    rows = [(1, [1, 2, 1, 2]), (2, [1, 1]), (3, [3]), (4, [])]
+    out = {r["doc_id"]: (r["n_tok"], r["sum_nll_x1e6"], r["mean_nll_x1e6"])
+           for r in TK.token_lm_bigram(_df(spark, rows)).collect()}
+    assert 4 not in out  # empty sequence excluded
+
+    # replica: add-one smoothed bigram model over the same corpus
+    from collections import Counter
+    seqs = {i: t for i, t in rows if t}
+    uni = Counter(t for s in seqs.values() for t in s)
+    big = Counter((s[j - 1], s[j]) for s in seqs.values() for j in range(1, len(s)))
+    T, V = sum(uni.values()), len(uni)
+    for i, s in seqs.items():
+        nlls = []
+        for j, w in enumerate(s):
+            if j == 0:
+                pr = (uni[w] + 1.0) / (T + V)
+            else:
+                pr = (big[(s[j - 1], w)] + 1.0) / (uni[s[j - 1]] + V)
+            nlls.append(math.floor(-math.log(pr) * 1e6 + 0.5))
+        assert out[i] == (len(s), sum(nlls), math.floor(sum(nlls) / len(s)))
+
+
+def test_token_lm_bigram_repeated_pairs_score_lower(spark):
+    # a sequence made of the corpus's dominant bigram must have lower
+    # mean NLL than one of never-seen transitions
+    rows = [(i, [7, 8] * 10) for i in range(5)] + [(99, [8, 7] * 10)]
+    out = {r["doc_id"]: r["mean_nll_x1e6"]
+           for r in TK.token_lm_bigram(_df(spark, rows)).collect()}
+    assert out[0] < out[99]
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters on token ids
+
+
+def test_token_cluster_transitivity(spark):
+    from hnormalise_spark.ops.dedup import assign_clusters
+
+    seq = list(range(100, 140))
+    rows = [
+        (1, seq),
+        (2, seq + [1, 2]),       # near-dups 1 via shared 8-grams
+        (3, seq + [1, 2, 3, 4]), # near-dups 2 (and 1) -> one component
+        (9, list(range(500, 540))),  # unrelated singleton
+    ]
+    df = _df(spark, rows)
+    pairs = TK.token_minhash_dedup(df, n=8, k=16, bands=4, threshold=0.3)
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in assign_clusters(df.select("doc_id"), pairs).collect()}
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[9] == (9, True)
