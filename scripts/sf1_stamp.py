@@ -48,7 +48,7 @@ LEGS = [
     "token_chunks", "token_decontam", "token_oov", "token_pack",
     "token_zipf", "token_repetition", "stratified_take",
     "source_token_kl", "vocab_remap", "length_buckets",
-    "batch_pipeline",
+    "batch_pipeline", "token_clusters", "token_lm",
 ]
 REPLICAS = 10
 
