@@ -467,6 +467,53 @@ def _route_parsed(spark: SparkSession, sf: str) -> DataFrame:
     return normalise(_route_corpus(spark, sf))
 
 
+def q_table_snapshots(spark: SparkSession, sf: str) -> DataFrame:
+    """The snapshot-committed table layer (table.py — Iceberg writeTo
+    when the jar exists, parquet + atomic manifest here) witnessed by
+    the gate: commit snapshot v1 (even doc_ids), commit v2 (odd),
+    then read v1 by TIME TRAVEL and the full table by committed-union,
+    reporting per-view row count and key sum. Idempotent by the
+    table's own resume contract — write_snapshot returns False when
+    the id is already committed, so driver re-runs read the identical
+    table instead of double-appending (the round-2 bug class this
+    layer exists to prevent)."""
+    from hnormalise_spark import table as T
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    tag = sf.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/tmp/hnorm_tableq_{tag}"
+    T.write_snapshot(docs.filter(F.col("doc_id") % 2 == 0), path, "v1")
+    T.write_snapshot(docs.filter(F.col("doc_id") % 2 == 1), path, "v2")
+    v1 = T.read_snapshot(spark, path, "v1").agg(
+        F.lit("v1").alias("view"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+    )
+    allv = T.read_committed(spark, path).agg(
+        F.lit("all").alias("view"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("n_chars").cast("long").alias("sum_n_chars"),
+    )
+    return v1.unionByName(allv)
+
+
+def _oracle_table_snapshots() -> str:
+    return """
+    SELECT 'v1' AS view, count(*)::BIGINT AS n_rows,
+           sum(doc_id)::BIGINT AS sum_doc_id,
+           sum(n_chars)::BIGINT AS sum_n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'all', count(*)::BIGINT, sum(doc_id)::BIGINT, sum(n_chars)::BIGINT
+    FROM documents
+    """
+
+
 def q_ops_triage(spark: SparkSession, sf: str) -> DataFrame:
     """Composed flagship #6 — the OPERATIONAL loop behind the
     reference's fixed dispatch list (Parser.hs:66-78): full
@@ -1265,17 +1312,18 @@ _WITNESS_FIRST = [
     "token_zipf", "token_repetition", "log_templates", "template_drift",
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
     "length_buckets", "batch_pipeline", "ann_quantized", "ops_triage",
-    "token_clusters", "token_lm",
+    "token_clusters", "token_lm", "table_snapshots",
     # the reference's core contract — r3-green, absent from r4's window
     # (walltime_memory, host_list, enrich_broadcast,
-    # route_counts_rollup, json_fields_projection, json_input and
-    # route_counts rotate out — driver-green in prior rounds,
+    # route_counts_rollup, json_fields_projection, json_input,
+    # route_counts and envelope rotate out — driver-green in prior rounds,
     # unchanged since, byte-golden-pinned in pytest; route_counts'
     # EXACT oracle is still witnessed in-window by route_counts_salted,
-    # which shares it, and by stream_route_counts; ops_triage re-runs
-    # the full dispatch on top of the per-family parse witnesses)
+    # which shares it, and by stream_route_counts; envelope parsing is
+    # exercised by EVERY in-window parse_* and triage witness; ops_triage
+    # re-runs the full dispatch on top of the per-family parse witnesses)
     "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
-    "parse_lmod", "parse_shorewall", "envelope",
+    "parse_lmod", "parse_shorewall",
     "json_encode_snoopy",
     # r4-green but code changed this round — re-witness. Rotated OUT
     # to stay at exactly 50: multimodal_features / tokens_roundtrip
@@ -1315,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts_rollup": q_route_counts_rollup,
         "route_counts_salted": q_route_counts_salted,
         "ops_triage": q_ops_triage,
+        "table_snapshots": q_table_snapshots,
         "stream_route_counts": q_stream_route_counts,
         "grok_sshd": q_grok_sshd,
         "grok_apache": q_grok_apache,
@@ -1345,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "route_counts_rollup": _oracle_route_counts_rollup(),
         "route_counts_salted": _oracle_route_counts(),
         "ops_triage": _oracle_ops_triage(),
+        "table_snapshots": _oracle_table_snapshots(),
         "stream_route_counts": _oracle_route_counts(),
         "grok_sshd": _oracle_grok_sshd(),
         "grok_apache": _oracle_grok_apache(),
