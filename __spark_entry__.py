@@ -1292,7 +1292,9 @@ def _oracle_grok_apache() -> str:
 # r4's window), then winnow_fp (code changed this round). Everything
 # rotated out is driver-green in a prior round, unchanged since, and
 # still covered by pytest + the local scripts/check_oracles.py sweep
-# (every registered query PASS at sf0.01, 2026-08-19).
+# (every registered query PASS at sf0.01, 2026-08-19; the late-round
+# semdedup/ppl_buckets/epoch_mix additions sit outside the window and
+# carry local sweep passes at sf0.001/0.01/0.1 + test_round5b.py).
 _WITNESS_FIRST = [
     # never in any CORRECTNESS_r*.json
     "bpe_train", "bpe_encode", "winnow_pairs", "bm25_indexed",

@@ -806,3 +806,104 @@ def assign_clusters(
         cluster.alias("cluster_id"),
         (cluster == df[id_col]).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside embedding clusters
+
+
+def semdedup_keep(
+    df: "DataFrame",
+    centroids: list,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+) -> "DataFrame":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop every document whose cosine to a
+    LOWER-id member of the SAME cluster reaches ``threshold`` — the
+    keep-set is the semantic dedup of the corpus. Where
+    ``embedding_neardup_pairs`` emits near-dup EDGES from LSH sign
+    buckets (recall knob = n_planes), this is the cluster-scoped
+    DECISION form of the paper: candidate pairs exist only inside a
+    cluster, and the keep rule is local to it, so no connected-
+    components pass is needed afterwards.
+
+    Clustering reuses the IVF machinery (``similarity.ivf_centroids``
+    + ``ivf_assign``): deterministic centroids, map-side argmax-cosine
+    assignment — one Arrow-batched matmul per batch, NO shuffle. The
+    only shuffle is the in-cluster self-equi-join on ``list_id``; with
+    nlist sized ~sqrt(N) (the standard IVF rule) a cluster holds
+    ~sqrt(N) rows and the pair count per join key stays ~N — linear in
+    the corpus, never all-pairs.
+
+    Hot-cluster guard (the ``embedding_neardup_pairs`` /
+    ``winnow_dup_pairs`` pattern): cluster sizes are counted first via
+    a map-side-combined aggregate; clusters over ``max_cluster``
+    switch from all-pairs to STAR comparison against the cluster's
+    min-id hub — every spoke similar to the hub drops (m-1 compares
+    instead of m(m-1)/2). For a cluster that hot the hub IS the
+    boilerplate centroid-dweller, so the star keeps exactly one copy
+    of the degenerate mass; spoke-spoke near-dups whose hub misses the
+    threshold are the accepted recall trade, identical to the neardup
+    guard.
+
+    Returns every input row with (``list_id``, ``keep``) — keep=False
+    rows are the semantic duplicates to discard.
+    """
+    from hnormalise_spark.ops.similarity import cosine, ivf_assign
+
+    asg = ivf_assign(df.select(id_col, vec_col), centroids, vec_col=vec_col)
+    hot = (
+        asg.groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") > max_cluster)
+        .select("list_id")
+        .withColumn("_hot", F.lit(True))
+    )
+    asg = asg.join(F.broadcast(hot), "list_id", "left").withColumn(
+        "_hot", F.coalesce(F.col("_hot"), F.lit(False))
+    )
+
+    cold = asg.filter(~F.col("_hot"))
+    a = cold.select(
+        F.col("list_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = cold.select(
+        F.col("list_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    cold_pairs = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
+
+    hot_rows = asg.filter(F.col("_hot"))
+    hubs = hot_rows.groupBy("list_id").agg(F.min(id_col).alias("id_a"))
+    hub_vecs = hubs.join(
+        hot_rows.select(
+            "list_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+        ),
+        ["list_id", "id_a"],
+    )
+    star_pairs = (
+        hot_rows.select(
+            "list_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+        )
+        .join(F.broadcast(hub_vecs), "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+    dropped = (
+        cold_pairs.unionByName(star_pairs.select("list_id", "id_a", "_va", "id_b", "_vb"))
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias("_dropped"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    out = asg.join(dropped, asg[id_col] == dropped["_dropped"], "left")
+    return out.select(
+        asg[id_col],
+        asg["list_id"],
+        F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+    ).select(
+        id_col, "list_id", (~F.col("is_dup")).alias("keep")
+    )

@@ -4279,6 +4279,148 @@ def _oracle_error_burst() -> str:
     """
 
 
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup keep/drop decision over the embedding corpus: IVF
+    clusters (same deterministic stride-37 centroids as the IVF ANN
+    index) scope the candidate pairs, any member cosine-similar to a
+    lower-id cluster-mate at >= 0.35 drops. filter(keep) IS the
+    semantically deduped corpus."""
+    from hnormalise_spark.ops import dedup as D
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    cents = S.ivf_centroids(emb, IVF_STRIDE)
+    out = D.semdedup_keep(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+        "keep",
+    )
+
+
+def _oracle_semdedup() -> str:
+    """Re-derives centroid selection, argmax-cosine cluster
+    assignment, the in-cluster pairwise cosines and the lower-id drop
+    rule entirely in SQL."""
+    cdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> e.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE))"
+    )
+    pdot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({}.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+    WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb,
+                      sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS c_nrm
+               FROM embeddings WHERE vec_id % {IVF_STRIDE} = 0),
+    scored AS (SELECT e.vec_id, c.c_id,
+                 {cdot} / ({nrm.format('e')} * c.c_nrm) AS cos
+               FROM embeddings e CROSS JOIN c),
+    asg AS (SELECT vec_id, c_id AS list_id FROM (
+              SELECT vec_id, c_id,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rn
+              FROM scored) WHERE rn = 1),
+    dropped AS (SELECT DISTINCT b.vec_id
+                FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE {pdot} / ({nrm.format('ea')} * {nrm.format('eb')})
+                      >= {SEMDEDUP_THRESHOLD!r})
+    SELECT asg.vec_id::BIGINT AS vec_id, asg.list_id::BIGINT AS list_id,
+           (dropped.vec_id IS NULL) AS keep
+    FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+    """
+
+
+PPL_GRAIN = 1000
+
+
+def q_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity thirds per source, decided at
+    milli-nat histogram granularity — the curation split that feeds
+    'head' into high-quality mixes and queues 'tail' for filtering."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+    )
+    toked = docs.select("doc_id", "source", _codepoint_tokens().alias("tokens"))
+    return TK.perplexity_buckets(toked, grain=PPL_GRAIN)
+
+
+def _oracle_ppl_buckets() -> str:
+    return f"""
+    WITH lm AS ({_oracle_token_lm()}),
+    sc AS (SELECT lm.doc_id, d.source, lm.mean_nll_x1e6,
+                  (lm.mean_nll_x1e6 // {PPL_GRAIN}) AS cell
+           FROM lm JOIN documents d USING (doc_id)),
+    hist AS (SELECT source, cell, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+    cum AS (SELECT source, cell,
+                   sum(c) OVER (PARTITION BY source ORDER BY cell) AS cum,
+                   sum(c) OVER (PARTITION BY source) AS n
+            FROM hist),
+    lab AS (SELECT source, cell,
+                   CASE WHEN cum * 3 <= n THEN 'head'
+                        WHEN cum * 3 <= n * 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM cum)
+    SELECT sc.doc_id, sc.source, sc.mean_nll_x1e6, lab.ppl_bucket
+    FROM sc JOIN lab USING (source, cell)
+    """
+
+
+EPOCH_TARGET = 500_000
+EPOCH_CAP = 4
+EPOCH_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+
+
+def q_epoch_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained repeat plan: a 500k-token budget split over
+    weighted sources, epochs capped at 4 — the per-source repeat
+    schedule plus the shortfall the cap leaves unfilled."""
+    from hnormalise_spark.ops import sampling as SMP
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            "source", F.length("text").cast("long").alias("n_tok")
+        )
+    )
+    return SMP.epoch_plan(
+        docs, target_total=EPOCH_TARGET, weights=EPOCH_WEIGHTS, max_epochs=EPOCH_CAP
+    )
+
+
+def _oracle_epoch_mix() -> str:
+    wsum = sum(EPOCH_WEIGHTS.values())
+    vals = ", ".join(f"('{k}', {v})" for k, v in sorted(EPOCH_WEIGHTS.items()))
+    return f"""
+    WITH w(source, wt) AS (VALUES {vals}),
+    av AS (SELECT source, sum(length(text))::BIGINT AS n_tok_avail
+           FROM documents GROUP BY 1),
+    j AS (SELECT av.source, av.n_tok_avail,
+                 (({EPOCH_TARGET}::BIGINT * coalesce(w.wt, 0)) // {wsum})::BIGINT AS desired_tok
+          FROM av LEFT JOIN w USING (source)),
+    e AS (SELECT source, n_tok_avail, desired_tok,
+                 CASE WHEN desired_tok <= 0 THEN 0
+                      WHEN coalesce(n_tok_avail, 0) = 0 THEN 0
+                      ELSE least({EPOCH_CAP}, ceil(desired_tok / n_tok_avail)) END::BIGINT AS epochs
+          FROM j)
+    SELECT source, n_tok_avail, desired_tok, epochs,
+           least(desired_tok, epochs * n_tok_avail)::BIGINT AS n_tok_planned,
+           (desired_tok - least(desired_tok, epochs * n_tok_avail))::BIGINT AS shortfall
+    FROM e
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -4368,6 +4510,9 @@ def queries():
         "log_templates": q_log_templates,
         "template_drift": q_template_drift,
         "error_burst": q_error_burst,
+        "semdedup": q_semdedup,
+        "ppl_buckets": q_ppl_buckets,
+        "epoch_mix": q_epoch_mix,
     }
 
 
@@ -4464,4 +4609,7 @@ def oracle_sql():
         "log_templates": _oracle_log_templates(),
         "template_drift": _oracle_template_drift(),
         "error_burst": _oracle_error_burst(),
+        "semdedup": _oracle_semdedup(),
+        "ppl_buckets": _oracle_ppl_buckets(),
+        "epoch_mix": _oracle_epoch_mix(),
     }

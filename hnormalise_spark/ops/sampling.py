@@ -440,3 +440,81 @@ def temperature_mix(
         rate = F.when(cond, r) if rate is None else rate.when(cond, r)
     rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
     return df.filter(u < rate)
+
+
+def epoch_plan(
+    df: DataFrame,
+    target_total: int,
+    weights: dict,
+    max_epochs: int = 4,
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """Data-constrained repeat plan (Muennighoff et al. 2023,
+    arXiv:2305.16264): given a token budget ``target_total`` and
+    per-source mixing ``weights``, decide how many EPOCHS of each
+    source to run when the desired token count exceeds what the
+    source holds — repeating data beats substituting off-mix data up
+    to ~4 epochs, hence the cap.
+
+    Pure integer arithmetic end to end: desired_s =
+    floor(target·w_s/ΣW); epochs_s = min(max_epochs,
+    ceil(desired_s/avail_s)) (0 when the source gets no budget);
+    planned_s = min(desired_s, epochs_s·avail_s); shortfall_s =
+    desired_s − planned_s is the budget the cap leaves unfilled —
+    the number a mixing loop redistributes or accepts.
+
+    Scale shape: ONE map-side-combined (source → Σn_tok) aggregate
+    over the corpus; everything after runs on |sources| rows with the
+    weight table joined as a broadcast literal map. Sources absent
+    from ``weights`` weigh 0 (explicit exclusion), so the op is total
+    over whatever the scan finds.
+    """
+    items = []
+    for k in sorted(weights):
+        items += [F.lit(k), F.lit(int(weights[k]))]
+    wmap = F.create_map(*items) if items else F.create_map()
+    wsum = int(sum(int(v) for v in weights.values())) or 1
+
+    avail = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(ntok_col).cast("long")).alias("n_tok_avail")
+    )
+    desired = F.floor(
+        F.lit(int(target_total))
+        * F.coalesce(F.element_at(wmap, F.col("source")), F.lit(0)).cast("long")
+        / F.lit(wsum)
+    ).cast("long")
+    planned = avail.withColumn("desired_tok", desired).withColumn(
+        "epochs",
+        F.when(F.col("desired_tok") <= 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(int(max_epochs)),
+                # try_divide: a source whose rows all carry n_tok=0 has
+                # nothing to repeat — 0 epochs, full shortfall — and
+                # must not abort the batch under ANSI
+                F.coalesce(
+                    F.ceil(
+                        F.try_divide(F.col("desired_tok"), F.col("n_tok_avail"))
+                    ),
+                    F.lit(0),
+                ),
+            )
+        )
+        .cast("long"),
+    )
+    return planned.select(
+        "source",
+        "n_tok_avail",
+        "desired_tok",
+        "epochs",
+        F.least(F.col("desired_tok"), F.col("epochs") * F.col("n_tok_avail"))
+        .cast("long")
+        .alias("n_tok_planned"),
+        (
+            F.col("desired_tok")
+            - F.least(F.col("desired_tok"), F.col("epochs") * F.col("n_tok_avail"))
+        )
+        .cast("long")
+        .alias("shortfall"),
+    )

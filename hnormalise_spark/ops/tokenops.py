@@ -882,3 +882,62 @@ def dsir_score(
         )
         .withColumnRenamed("_doc", id_col)
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    grain: int = 1000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et
+    al. 2020, arXiv:1911.00359) directly on the token table: score
+    every sequence with the add-one bigram LM (``token_lm_bigram``),
+    then split each SOURCE's population into perplexity thirds —
+    'head' (most fluent) feeds high-quality training mixes, 'tail'
+    is the filter candidate.
+
+    Thresholds are computed at HISTOGRAM granularity, not by ranking
+    documents: mean NLL is floored onto a ``grain``-micro-nat grid
+    (milli-nats by default — the NLL range is a few nats, so the grid
+    is ~10^4 cells regardless of corpus size), per-(source, cell)
+    counts roll up with map-side combine, and the inclusive cumulative
+    count over each source's ≤10^4 cells decides the cell's label:
+    head while 3·cum ≤ n, middle while 3·cum ≤ 2n, tail after — a
+    straddling cell rounds UP into the next bucket, whole. This is
+    the same two-pass-histogram discipline as ``budget_select`` (a
+    per-source row_number over 10^12 docs would serialize each source
+    onto one window task; the histogram form shuffles corpus-sized
+    data exactly once, for the LM scoring itself), and every decision
+    is integer arithmetic so partitioning cannot move a label.
+
+    Returns (doc_id, source, mean_nll_x1e6, ppl_bucket). Sequences
+    the LM cannot score (empty/null) are excluded, matching
+    ``token_lm_bigram``.
+    """
+    from pyspark.sql import Window
+
+    scores = token_lm_bigram(df, tokens_col=tokens_col, id_col=id_col)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+    scored = scores.join(src, "doc_id").withColumn(
+        "_cell", F.floor(F.col("mean_nll_x1e6") / F.lit(int(grain))).cast("long")
+    )
+    hist = scored.groupBy("source", "_cell").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("source").orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy("source"))
+    )
+    labeled = cum.select(
+        "source",
+        "_cell",
+        F.when(F.col("_cum") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_cum") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+    return scored.join(F.broadcast(labeled), ["source", "_cell"]).select(
+        "doc_id", "source", "mean_nll_x1e6", "ppl_bucket"
+    )
