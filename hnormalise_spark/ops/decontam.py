@@ -83,3 +83,45 @@ def decontaminate(
             "contaminated", (F.col("n_eval_hits") > 0).cast("int")
         )
     )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose
+    cosine to ANY eval-set vector reaches ``tau`` — the semantic
+    complement of the n-gram path above, catching paraphrased or
+    re-tokenized benchmark leakage that shares no literal 8-gram
+    (the overlap class studied in Yang et al. 2023, arXiv:2311.04850).
+
+    Scale shape: the eval side is small by definition → **broadcast**
+    nested-loop against it; per-pair cosine is the shared Catalyst
+    ``similarity.cosine`` fold (JVM, no Python); the ONLY shuffle is
+    the per-corpus-vector rollup, which map-side combines to exactly
+    one row per input vector — corpus embeddings cross the wire once,
+    as (id, count, max) triples, never as raw pairs. ``eval_df`` must
+    be non-empty (an empty eval set has nothing to leak).
+
+    Returns (id, n_sem_hits, max_cos_x1e6, contaminated): hit count at
+    ``tau``, the best eval match in 1e-6 fixed point (NULL for a
+    zero vector, whose cosine is undefined), and the 0/1 flag.
+    """
+    from hnormalise_spark.ops.similarity import cosine
+
+    ev = eval_df.select(F.col(eval_vec_col).alias("_ev_vec"))
+    pairs = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(ev))
+    cos = cosine(F.col(vec_col), F.col("_ev_vec"))
+    scored = pairs.select(
+        F.col(id_col),
+        F.when(cos >= F.lit(float(tau)), F.lit(1)).otherwise(F.lit(0)).alias("_hit"),
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("_cos_x1e6"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("_hit").cast("long").alias("n_sem_hits"),
+        F.max("_cos_x1e6").alias("max_cos_x1e6"),
+    ).withColumn("contaminated", (F.col("n_sem_hits") > 0).cast("int"))

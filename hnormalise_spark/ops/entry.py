@@ -4421,6 +4421,171 @@ def _oracle_epoch_mix() -> str:
     """
 
 
+SEMDECON_TAU = 0.30
+
+
+def q_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: every train vector (vec_id not
+    in the deterministic %37 eval subset) is flagged when its cosine to
+    ANY eval vector reaches 0.30 — the semantic complement of the
+    n-gram `decontaminate` leg, catching paraphrased leakage. Eval
+    side broadcast; the only shuffle is the map-side-combined
+    per-vector rollup."""
+    from hnormalise_spark.ops import decontam as D
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    ev = emb.filter(F.col("vec_id") % 37 == 0)
+    tr = emb.filter(F.col("vec_id") % 37 != 0)
+    out = D.semantic_decontaminate(tr, ev, tau=SEMDECON_TAU)
+    return out.select(
+        "vec_id", "n_sem_hits", "max_cos_x1e6",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _oracle_semantic_decontam() -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> tr.embedding[i]::DOUBLE * ev.embedding[i]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({}.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+    WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 37 = 0),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0),
+    p AS (SELECT tr.vec_id,
+            {dot} / ({nrm.format('tr')} * {nrm.format('ev')}) AS cos
+          FROM tr CROSS JOIN ev)
+    SELECT vec_id,
+           sum(CASE WHEN cos >= {SEMDECON_TAU!r} THEN 1 ELSE 0 END)::BIGINT AS n_sem_hits,
+           max(floor(cos * 1000000.0 + 0.5))::BIGINT AS max_cos_x1e6,
+           (sum(CASE WHEN cos >= {SEMDECON_TAU!r} THEN 1 ELSE 0 END) > 0)::INT AS contaminated
+    FROM p GROUP BY 1
+    """
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-sequence Shannon entropy of the token-id distribution in
+    integer micro-nats over the pre-tokenized table — the
+    position-independent degenerate-text signal (shuffled boilerplate
+    scores low here even when run/ngram repetition checks miss it).
+    Pure narrow transform, no shuffle."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return TK.token_entropy(toked)
+
+
+def _oracle_token_entropy() -> str:
+    return """
+    WITH tok AS (SELECT doc_id, [ascii(c) FOR c IN split(text, '')] AS ts
+                 FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    cnt AS (SELECT doc_id, t, count(*)::BIGINT AS c
+            FROM tok, UNNEST(ts) AS u(t) GROUP BY 1, 2),
+    n AS (SELECT doc_id, len(ts)::BIGINT AS n_tok FROM tok)
+    SELECT n.doc_id, n.n_tok,
+           count(*)::BIGINT AS n_distinct,
+           sum(floor((c::DOUBLE / n_tok) * ln(n_tok::DOUBLE / c) * 1000000.0))::BIGINT
+             AS entropy_x1e6
+    FROM n JOIN cnt ON n.doc_id = cnt.doc_id
+    GROUP BY 1, 2
+    """
+
+
+def q_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source tokenizer fertility report: BPE-ish tokens per char
+    and chars per whitespace word as exact integer ppm of the BIGINT
+    sums — the multilingual-mix health check. One map-side-combined
+    groupBy(source)."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("source", "text")
+    )
+    return T.fertility_stats(docs)
+
+
+def _oracle_fertility() -> str:
+    return r"""
+    WITH per AS (SELECT source, length(text)::BIGINT AS n_chars,
+        (CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_words,
+        len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))::BIGINT AS n_bpe
+      FROM documents)
+    SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+           sum(n_words)::BIGINT AS n_words, sum(n_bpe)::BIGINT AS n_bpe_tokens,
+           (CASE WHEN sum(n_chars) > 0
+                 THEN (sum(n_bpe) * 1000000) // sum(n_chars) END)::BIGINT AS bpe_per_char_ppm,
+           (CASE WHEN sum(n_words) > 0
+                 THEN (sum(n_chars) * 1000000) // sum(n_words) END)::BIGINT AS chars_per_word_ppm
+    FROM per GROUP BY 1
+    """
+
+
+HIST_WIDTH = 32
+HIST_BINS = 32
+HIST_QS = [500000, 900000, 990000]
+
+
+def q_sketch_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles: doc-length p50/p90/p99
+    per source, computed from FOUR shard partial sketches folded by
+    the merge law (union + per-bin sum) — the streaming/shardable
+    quantile path next to the exact rank-selection legs. Every number
+    is integer; the estimate is the winning bin's lower edge."""
+    from hnormalise_spark.ops import sketches as SK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    partials = [
+        SK.hist_sketch(
+            docs.filter(F.col("doc_id") % 4 == s), ["source"], "n_chars",
+            HIST_WIDTH, HIST_BINS,
+        )
+        for s in range(4)
+    ]
+    merged = SK.hist_merge(*partials)
+    out = SK.hist_quantiles(merged, ["source"], HIST_WIDTH, HIST_QS)
+    return out.select(
+        "source",
+        F.col("q_x1e6").cast("long").alias("q_x1e6"),
+        F.col("bin").cast("int").alias("bin"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _oracle_sketch_quantiles() -> str:
+    qvals = ", ".join(f"({q})" for q in HIST_QS)
+    return f"""
+    WITH v AS (SELECT source,
+                 least(greatest(length(text) // {HIST_WIDTH}, 0), {HIST_BINS - 1}) AS bin
+               FROM documents),
+    h AS (SELECT source, bin, count(*)::BIGINT AS n FROM v GROUP BY 1, 2),
+    c AS (SELECT source, bin,
+                 sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY source) AS total
+          FROM h),
+    q(q_x1e6) AS (VALUES {qvals})
+    SELECT source, q_x1e6::BIGINT AS q_x1e6, min(bin)::INT AS bin,
+           (min(bin) * {HIST_WIDTH})::BIGINT AS est
+    FROM c CROSS JOIN q
+    WHERE cum * 1000000 >= q_x1e6 * total
+    GROUP BY 1, 2
+    """
+
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -4513,6 +4678,10 @@ def queries():
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "epoch_mix": q_epoch_mix,
+        "semantic_decontam": q_semantic_decontam,
+        "token_entropy": q_token_entropy,
+        "fertility": q_fertility,
+        "sketch_quantiles": q_sketch_quantiles,
     }
 
 
@@ -4612,4 +4781,8 @@ def oracle_sql():
         "semdedup": _oracle_semdedup(),
         "ppl_buckets": _oracle_ppl_buckets(),
         "epoch_mix": _oracle_epoch_mix(),
+        "semantic_decontam": _oracle_semantic_decontam(),
+        "token_entropy": _oracle_token_entropy(),
+        "fertility": _oracle_fertility(),
+        "sketch_quantiles": _oracle_sketch_quantiles(),
     }

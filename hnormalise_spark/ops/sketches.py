@@ -404,3 +404,95 @@ def bloom_contains(
             != 0
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid histogram sketch: mergeable quantiles
+
+
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    width: int,
+    nbins: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram sketch over a non-negative
+    integer measure (lengths, token counts, latencies): per group,
+    one row per occupied bin with bin = min(value div width,
+    nbins-1). The deterministic-integer stand-in for t-digest /
+    KLL: constant size (≤ nbins rows per group), exact merge law,
+    quantile error bounded by one grid step — and unlike the rank
+    sketches, every number it emits is engine-portable integer
+    arithmetic, so the oracle replays it bit-for-bit.
+
+    Build cost: ONE map-side-combined aggregate; the shuffle carries
+    ≤ |groups|·nbins partial rows no matter the corpus size. Merge law
+    (`hist_merge`) = union + per-(group, bin) SUM — associative,
+    commutative, so shard/day partials fold in any order (streaming
+    snapshots compose exactly like the k-mins path). Null values are
+    excluded; negative values clamp to bin 0.
+    """
+    if width < 1 or nbins < 2:
+        raise ValueError(f"need width >= 1 and nbins >= 2, got {width}/{nbins}")
+    v = F.col(value_col).cast("long")
+    bin_ = F.least(
+        F.greatest(F.expr(f"CAST({value_col} AS LONG) div {int(width)}"), F.lit(0)),
+        F.lit(int(nbins) - 1),
+    ).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram sketches built on the same grid: union +
+    per-(group, bin) sum. The sketch of the union of the inputs."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("bin", "n")]
+    return out.groupBy(*group_cols, "bin").agg(F.sum("n").alias("n"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    width: int,
+    qs_x1e6: list[int],
+) -> DataFrame:
+    """Estimate quantiles from a histogram sketch: for each q (parts
+    per million) pick the smallest bin whose inclusive cumulative
+    count reaches ceil(q·n/1e6), decided as the exact integer test
+    cum·1e6 ≥ q·n — no float, no tie ambiguity. The estimate reported
+    is the bin's LOWER edge (bin·width): a deterministic ≤ one-grid-
+    step-under estimate.
+
+    Runs entirely on sketch-sized data (≤ |groups|·nbins rows): a
+    per-group cumulative window + a broadcast of the literal q list.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sketch.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*group_cols))
+    )
+    qdf = F.broadcast(
+        cum.sparkSession.createDataFrame(
+            [(int(q),) for q in qs_x1e6], "q_x1e6 long"
+        )
+    )
+    hit = cum.join(qdf).filter(
+        F.col("cum") * F.lit(1000000) >= F.col("q_x1e6") * F.col("total")
+    )
+    return (
+        hit.groupBy(*group_cols, "q_x1e6")
+        .agg(F.min("bin").alias("bin"))
+        .withColumn("est", (F.col("bin").cast("long") * F.lit(int(width))))
+    )

@@ -1314,3 +1314,47 @@ def quality_score_hashed(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
         ).alias("score_sum"),
     ).withColumn("keep", (F.col("score_sum") > 0).cast("int"))
+
+
+def fertility_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer fertility / compression report: how many
+    sub-word tokens the BPE-ish tokenizer spends per character and how
+    many characters a whitespace word costs, per corpus source — the
+    standard multilingual-mix health check (a source whose fertility
+    spikes is being tokenized badly and will eat budget without
+    contributing sequence diversity; cf. the fertility analyses in
+    XLM-R / NLLB data work).
+
+    ONE map-side-combined groupBy(source) over per-row counters that
+    are already plain Catalyst expressions (`token_count`,
+    `bpe_ish_token_count`, `length`); the shuffle carries |sources|
+    partial rows. Ratios are exact integer floor-divisions of the
+    BIGINT sums (ppm), so the result is partition-order invariant and
+    engine-portable. Sources with zero chars/words report NULL ratios.
+    """
+    t = F.col(text_col)
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t).cast("long")).alias("n_chars"),
+        F.sum(token_count(t).cast("long")).alias("n_words"),
+        F.sum(bpe_ish_token_count(t).cast("long")).alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("n_bpe_tokens * 1000000L div n_chars"),
+        ).alias("bpe_per_char_ppm"),
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("n_chars * 1000000L div n_words"),
+        ).alias("chars_per_word_ppm"),
+    )

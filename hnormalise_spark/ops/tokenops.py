@@ -941,3 +941,53 @@ def perplexity_buckets(
     return scored.join(F.broadcast(labeled), ["source", "_cell"]).select(
         "doc_id", "source", "mean_nll_x1e6", "ppl_bucket"
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence Shannon entropy of the token-id distribution, in
+    integer micro-nats — the degenerate-text signal the repetition
+    filters approximate from the other side: near-zero entropy means
+    the sequence is a handful of ids repeated, regardless of WHERE the
+    repeats sit (so it also catches shuffled boilerplate that defeats
+    run/ngram-based checks).
+
+    Pure narrow transform: distinct ids and their in-row counts come
+    from `array_distinct` + a `filter` size per distinct id (O(n·d)
+    per row — fine for training-length sequences; a sequence with
+    pathological distinct-count is exactly the high-entropy case that
+    short-circuits nothing). Each term (c/n)·ln(n/c) is evaluated in
+    double with one fixed operation order and floored to micro-nats
+    BEFORE the integer sum, so partitioning cannot move the result and
+    the oracle replays it bit-for-bit — the `source_token_kl`
+    discipline. NO shuffle, NO Python; fuses into the consuming scan.
+
+    Empty/null sequences are excluded (no distribution ⇒ no entropy).
+    Returns (id, n_tok, n_distinct, entropy_x1e6).
+    """
+    toks = F.col(tokens_col)
+    n = F.size(toks).cast("double")
+    cnts = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    )
+    ent = F.aggregate(
+        cnts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.floor(
+            (c.cast("double") / n) * F.log(n / c.cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    return (
+        df.filter(toks.isNotNull() & (F.size(toks) > 0))
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            ent.alias("entropy_x1e6"),
+        )
+    )
