@@ -1290,11 +1290,18 @@ def _oracle_grok_apache() -> str:
 # row — the 33 flagged by the round-4 verdict plus all round-5
 # additions — then the core parse contract (green in r1-r3 but outside
 # r4's window), then winnow_fp (code changed this round). Everything
-# rotated out is driver-green in a prior round, unchanged since, and
-# still covered by pytest + the local scripts/check_oracles.py sweep
-# (every registered query PASS at sf0.01, 2026-08-19; the late-round
-# semdedup/ppl_buckets/epoch_mix additions sit outside the window and
-# carry local sweep passes at sf0.001/0.01/0.1 + test_round5b.py).
+# rotated out is driver-green in a prior round and still covered by
+# pytest + the local scripts/check_oracles.py sweep (every registered
+# query PASS at sf0.01 AND sf0.001/sf0.1 for the late additions,
+# 2026-08-20). With the seven late-round additions (semdedup,
+# ppl_buckets, epoch_mix, semantic_decontam, token_entropy, fertility,
+# sketch_quantiles) the never-witnessed set is EXACTLY 50, so the
+# whole window goes to first-time witnesses: the parse-family
+# re-witness slots rotate out (r3 driver-green, unchanged, byte-golden
+# -pinned; ops_triage + parse_slurm + the grok legs keep the dispatch
+# path itself in-window), as does winnow_fp (r4 driver-green; its
+# round-5 Horner-mod fix is pinned by test_winnow.py large-k goldens
+# and the local sweep).
 _WITNESS_FIRST = [
     # never in any CORRECTNESS_r*.json
     "bpe_train", "bpe_encode", "winnow_pairs", "bm25_indexed",
@@ -1315,29 +1322,9 @@ _WITNESS_FIRST = [
     "error_burst", "stratified_take", "source_token_kl", "vocab_remap",
     "length_buckets", "batch_pipeline", "ann_quantized", "ops_triage",
     "token_clusters", "token_lm", "table_snapshots",
-    # the reference's core contract — r3-green, absent from r4's window
-    # (walltime_memory, host_list, enrich_broadcast,
-    # route_counts_rollup, json_fields_projection, json_input,
-    # route_counts and envelope rotate out — driver-green in prior rounds,
-    # unchanged since, byte-golden-pinned in pytest; route_counts'
-    # EXACT oracle is still witnessed in-window by route_counts_salted,
-    # which shares it, and by stream_route_counts; envelope parsing is
-    # exercised by EVERY in-window parse_* and triage witness; ops_triage
-    # re-runs the full dispatch on top of the per-family parse witnesses)
-    "parse_torque_exit", "parse_torque_queue", "parse_snoopy",
-    "parse_lmod", "parse_shorewall",
-    "json_encode_snoopy",
-    # r4-green but code changed this round — re-witness. Rotated OUT
-    # to stay at exactly 50: multimodal_features / tokens_roundtrip
-    # (r1-r3 green, unchanged), the composed flagships
-    # training_pipeline / curation_pipeline (r4-green; every component
-    # op they compose is individually witnessed above), and
-    # embedding_neardup (green r3 AND r4; its round-5 delta — shared
-    # minhash null-element handling — is pinned by pytest and the
-    # local sweep) and ann_recall (its round-5 denominator fix lives
-    # in recall_at_k, which ann_quantized witnesses on the same code
-    # path; its unique component similarity_ivf was r4-green).
-    "winnow_fp",
+    # late round-5 additions — never witnessed, fill the window to 50
+    "semdedup", "ppl_buckets", "epoch_mix",
+    "semantic_decontam", "token_entropy", "fertility", "sketch_quantiles",
 ]
 
 
