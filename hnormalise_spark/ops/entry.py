@@ -4586,6 +4586,111 @@ def _oracle_sketch_quantiles() -> str:
 
 
 
+HNEG_K = 3
+HNEG_LO = 150000
+HNEG_HI = 900000
+
+
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector (the
+    deterministic %37 subset) the top-3 train vectors with cosine in
+    [0.15, 0.90) — informative negatives below the near-dup ceiling.
+    Anchors broadcast; the band filter bounds the per-anchor rank
+    window; ordering fully deterministic (cos_x1e6 DESC, vec_id)."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    anchors = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    tr = emb.filter(F.col("vec_id") % 37 != 0)
+    return S.hard_negatives(
+        tr, anchors, k=HNEG_K, lo=HNEG_LO / 1e6, hi=HNEG_HI / 1e6
+    )
+
+
+def _oracle_hard_negatives() -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> tr.embedding[i]::DOUBLE * a.qv[i]::DOUBLE))"
+    )
+    nrm = "sqrt(list_sum(list_transform({}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"""
+    WITH a AS (SELECT vec_id AS q_id, embedding AS qv
+               FROM embeddings WHERE vec_id % 37 = 0),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0),
+    p AS (SELECT a.q_id, tr.vec_id,
+            floor({dot} / ({nrm.format('tr.embedding')} * {nrm.format('a.qv')})
+                  * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+          FROM tr CROSS JOIN a),
+    b AS (SELECT * FROM p WHERE cos_x1e6 >= {HNEG_LO} AND cos_x1e6 < {HNEG_HI}),
+    r AS (SELECT q_id, vec_id, cos_x1e6,
+            row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_x1e6 DESC, vec_id) AS rn
+          FROM b)
+    SELECT q_id, rn::INT AS rank, vec_id, cos_x1e6 FROM r WHERE rn <= {HNEG_K}
+    """
+
+
+TRIM_LO = 20000
+TRIM_HI = 980000
+
+
+def q_length_trim(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source length-outlier trim from the mergeable histogram
+    sketch: keep documents inside their OWN source's [p2, p98] length
+    band (bin-granular, all-integer bounds). Two corpus scans, zero
+    corpus shuffles — sketch partials map-side, bounds broadcast."""
+    from hnormalise_spark.ops import sampling as SMP
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    out = SMP.length_trim(
+        docs, TRIM_LO, TRIM_HI, width=HIST_WIDTH, nbins=HIST_BINS,
+        source_col="source", len_col="n_chars",
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.col("lo_est").cast("long").alias("lo_est"),
+        F.col("hi_est").cast("long").alias("hi_est"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+def _oracle_length_trim() -> str:
+    w, nb = HIST_WIDTH, HIST_BINS
+    return f"""
+    WITH v AS (SELECT doc_id, source, length(text)::BIGINT AS n_chars,
+                 least(greatest(length(text) // {w}, 0), {nb - 1}) AS bin
+               FROM documents),
+    h AS (SELECT source, bin, count(*)::BIGINT AS n FROM v GROUP BY 1, 2),
+    c AS (SELECT source, bin,
+                 sum(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY source) AS total
+          FROM h),
+    q(q_x1e6) AS (VALUES ({TRIM_LO}), ({TRIM_HI})),
+    qq AS (SELECT source, q_x1e6, min(bin) * {w} AS est
+           FROM c CROSS JOIN q
+           WHERE cum * 1000000 >= q_x1e6 * total GROUP BY 1, 2),
+    b AS (SELECT source,
+            min(est) FILTER (WHERE q_x1e6 = {TRIM_LO}) AS lo_est,
+            min(est) FILTER (WHERE q_x1e6 = {TRIM_HI}) AS hi_est
+          FROM qq GROUP BY 1)
+    SELECT v.doc_id, v.source, v.n_chars,
+           b.lo_est::BIGINT AS lo_est, b.hi_est::BIGINT AS hi_est,
+           (v.n_chars >= b.lo_est AND v.n_chars < b.hi_est + {w})::INT AS keep
+    FROM v JOIN b USING (source)
+    """
+
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -4682,6 +4787,8 @@ def queries():
         "token_entropy": q_token_entropy,
         "fertility": q_fertility,
         "sketch_quantiles": q_sketch_quantiles,
+        "hard_negatives": q_hard_negatives,
+        "length_trim": q_length_trim,
     }
 
 
@@ -4785,4 +4892,6 @@ def oracle_sql():
         "token_entropy": _oracle_token_entropy(),
         "fertility": _oracle_fertility(),
         "sketch_quantiles": _oracle_sketch_quantiles(),
+        "hard_negatives": _oracle_hard_negatives(),
+        "length_trim": _oracle_length_trim(),
     }

@@ -518,3 +518,52 @@ def epoch_plan(
         .cast("long")
         .alias("shortfall"),
     )
+
+
+def length_trim(
+    df: DataFrame,
+    lo_q_x1e6: int,
+    hi_q_x1e6: int,
+    width: int,
+    nbins: int = 64,
+    source_col: str = "source",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Per-source length-outlier trim driven by the mergeable
+    histogram sketch: keep rows whose length lands inside the
+    [lo-quantile bin, hi-quantile bin] band of THEIR source — the
+    truncation/garbage tail cut every curation recipe applies before
+    mixing, with per-source bounds so a long-form source isn't
+    clipped by a short-form source's distribution.
+
+    Two corpus scans, zero corpus shuffles: pass 1 builds the
+    per-source histogram sketch (map-side-combined, ≤ |sources|·nbins
+    rows cross the wire); the quantile bounds resolve on sketch-sized
+    data and broadcast back for the pass-2 keep decision. Bounds are
+    bin-granular and all-integer: keep iff lo_bin_edge ≤ len <
+    hi_bin_edge + width (both winning bins inclusive), so the decision
+    is engine-portable and partitioning cannot move it.
+
+    Returns every input row plus (lo_est, hi_est, keep).
+    """
+    from hnormalise_spark.ops.sketches import hist_quantiles, hist_sketch
+
+    sk = hist_sketch(df, [source_col], len_col, width=width, nbins=nbins)
+    qs = hist_quantiles(sk, [source_col], width, [int(lo_q_x1e6), int(hi_q_x1e6)])
+    bounds = (
+        qs.groupBy(source_col)
+        .pivot("q_x1e6", [int(lo_q_x1e6), int(hi_q_x1e6)])
+        .min("est")
+        .withColumnRenamed(str(int(lo_q_x1e6)), "lo_est")
+        .withColumnRenamed(str(int(hi_q_x1e6)), "hi_est")
+    )
+    out = df.join(F.broadcast(bounds), source_col, "left")
+    v = F.col(len_col).cast("long")
+    return out.withColumn(
+        "keep",
+        (
+            v.isNotNull()
+            & (v >= F.col("lo_est"))
+            & (v < F.col("hi_est") + F.lit(int(width)))
+        ).cast("int"),
+    )

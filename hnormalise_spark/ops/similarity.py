@@ -495,3 +495,56 @@ def recall_at_k(
             .alias("recall_x1e6"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    lo: float = 0.15,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    Contriever data-prep step, Karpukhin et al. 2020): for each anchor
+    (query) vector, the top-``k`` corpus vectors whose cosine falls in
+    the band [``lo``, ``hi``) — similar enough to be informative
+    negatives, below the near-duplicate ceiling that would make them
+    FALSE negatives (the classic mining bug the ``hi`` bound exists
+    for).
+
+    Scale shape: the anchor set is small by definition → BROADCAST it
+    against the corpus; per-pair cosine is the shared Catalyst fold
+    (JVM); the band filter runs BEFORE the ranking so the per-anchor
+    window only ever sees in-band candidates (the band is what bounds
+    the window partition — an unbanded per-anchor rank would pull the
+    whole corpus into |anchors| window groups). Ranking is fully
+    deterministic: cosine in 1e-6 fixed point DESC, then id ASC.
+
+    Returns (q_id, rank, id, cos_x1e6), rank 1..k per anchor (fewer
+    when the band holds fewer candidates).
+    """
+    from pyspark.sql import Window
+
+    anchors = queries_df.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("_qv")
+    )
+    pairs = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(anchors))
+    cos = cosine(F.col(vec_col), F.col("_qv"))
+    banded = pairs.select(
+        "q_id",
+        F.col(id_col),
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("cos_x1e6"),
+    ).filter(
+        (F.col("cos_x1e6") >= F.lit(int(round(lo * 1000000))))
+        & (F.col("cos_x1e6") < F.lit(int(round(hi * 1000000))))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_x1e6"), F.col(id_col).asc())
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select("q_id", F.col("rank").cast("int"), id_col, "cos_x1e6")
+    )
