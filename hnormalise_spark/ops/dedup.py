@@ -907,3 +907,58 @@ def semdedup_keep(
     ).select(
         id_col, "list_id", (~F.col("is_dup")).alias("keep")
     )
+
+
+def canonical_by_quality(
+    assigned: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: inside every duplicate
+    cluster keep the member with the HIGHEST quality score (tie →
+    lowest id), not the arbitrary min-id member ``assign_clusters``
+    flags. This is the decision rule real curation pipelines use —
+    when a boilerplate page and its well-formatted original collide,
+    keep the better copy.
+
+    Scale shape: the argmax is an AGGREGATE (max over a
+    (quality, -id) struct — map-side partial combine), never a
+    whole-cluster window, so the only full shuffle is the
+    groupBy(cluster_id); the winners frame is cluster-count-sized and
+    joins back broadcast-or-hash on the cluster key (AQE picks).
+
+    ``assigned`` carries (id, cluster_id) — e.g. ``assign_clusters``
+    output; ``quality`` carries (id, quality). Returns every member
+    with (id, cluster_id, quality, canonical_id, n_members,
+    is_kept).
+    """
+    j = assigned.select(id_col, cluster_col).join(
+        quality.select(id_col, quality_col), id_col
+    )
+    best = (
+        j.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(quality_col).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
+                )
+            ).alias("_b"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            cluster_col,
+            (-F.col("_b.nid")).alias("canonical_id"),
+            "n_members",
+        )
+    )
+    return j.join(best, cluster_col).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.col(quality_col),
+        F.col("canonical_id"),
+        F.col("n_members"),
+        (F.col(id_col) == F.col("canonical_id")).alias("is_kept"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 import hashlib
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hnormalise_spark.session import spread_to_cores
@@ -4691,6 +4691,289 @@ def _oracle_length_trim() -> str:
 
 
 
+RRF_K = 60
+RRF_TOPK = 20
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of the exact fp32 cosine top-50 and the
+    int8-quantized top-50 for the literal query vector — the
+    calibration-free hybrid rerank (RRF, Cormack et al. 2009) that a
+    retrieval stack runs when two scorers disagree on scale. Both
+    lists are TakeOrdered 50-row frames, so the fusion join is
+    broadcast-sized; scores are exact integers in both engines."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    deq = S.quantize_embeddings(emb).select(
+        "vec_id",
+        F.transform(
+            "q",
+            lambda x: x.cast("double")
+            * (F.col("scale_x1e9").cast("double") / F.lit(1e9)),
+        ).alias("embedding"),
+    )
+    qscored = S.cosine_scores(deq, QVEC).filter(F.col("cosine").isNotNull())
+    approx = (
+        qscored.select(
+            "vec_id",
+            F.floor(F.col("cosine") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("cos_x1e6"),
+        )
+        .orderBy(F.desc("cos_x1e6"), "vec_id")
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("cos_x1e6"), F.col("vec_id").asc())
+    exact_r = (
+        q_similarity_topk(spark, sf)
+        .select("vec_id", "cos_x1e6")
+        .withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "rank")
+    )
+    quant_r = (
+        approx.withColumn("rank", F.row_number().over(w))
+        .select("vec_id", "rank")
+    )
+    return S.rrf_fuse(exact_r, quant_r, k_const=RRF_K, topk=RRF_TOPK)
+
+
+def _oracle_rrf_fusion() -> str:
+    return f"""
+    WITH s AS (SELECT vec_id,
+                 list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                          i -> embedding[i]::DOUBLE * ({_qvec_sql()})[i])) AS dot,
+                 sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+               FROM embeddings),
+    e50 AS (SELECT vec_id,
+              floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+            FROM s ORDER BY cos_x1e6 DESC, vec_id LIMIT 50),
+    e AS (SELECT vec_id,
+            row_number() OVER (ORDER BY cos_x1e6 DESC, vec_id) AS ra
+          FROM e50),
+    bq AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+               / 127.0::DOUBLE AS scale
+           FROM embeddings),
+    qz AS (SELECT vec_id,
+             CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding,
+                         x -> floor(x::DOUBLE / scale + 0.5)::INT) END AS qc,
+             floor(scale * 1000000000.0 + 0.5)::BIGINT AS scale_x1e9
+           FROM bq),
+    deq AS (SELECT vec_id,
+              list_transform(qc,
+                c -> c::DOUBLE * (scale_x1e9::DOUBLE / 1000000000.0)) AS v
+            FROM qz),
+    s2 AS (SELECT vec_id,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                      i -> v[i] * ({_qvec_sql()})[i])) AS dot,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM deq),
+    a50 AS (SELECT vec_id,
+              floor(dot / (nrm * {_QNORM!r}) * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+            FROM s2 WHERE nrm > 0
+            ORDER BY cos_x1e6 DESC, vec_id LIMIT 50),
+    a AS (SELECT vec_id,
+            row_number() OVER (ORDER BY cos_x1e6 DESC, vec_id) AS rb
+          FROM a50),
+    f AS (SELECT vec_id, ra, rb FROM e FULL JOIN a USING (vec_id)),
+    sc AS (SELECT vec_id, ra, rb,
+             coalesce(floor(1000000.0 / ({RRF_K} + ra))::BIGINT, 0)
+               + coalesce(floor(1000000.0 / ({RRF_K} + rb))::BIGINT, 0) AS rrf
+           FROM f)
+    SELECT vec_id, ra::INT AS rank_a, rb::INT AS rank_b, rrf AS rrf_x1e6,
+           row_number() OVER (ORDER BY rrf DESC, vec_id)::INT AS fused_rank
+    FROM sc ORDER BY rrf DESC, vec_id LIMIT {RRF_TOPK}
+    """
+
+
+def q_cluster_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware canonical selection over the embedding near-dup
+    clusters: join each vector's document (doc_id == vec_id in the
+    synthetic corpus) and keep the LONGEST member per cluster (tie →
+    min id) instead of assign_clusters' arbitrary min-id canonical —
+    the keep-the-better-copy decision step of a curation pipeline.
+    Argmax is a map-side-combinable struct-max aggregate, never a
+    whole-cluster window."""
+    from hnormalise_spark.ops import dedup as D
+
+    emb = spread_to_cores(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    pairs = D.embedding_neardup_pairs(
+        emb, EMB_DIM, threshold=NEARDUP_THRESHOLD, n_planes=NEARDUP_PLANES
+    )
+    assigned = D.assign_clusters(emb.select("vec_id"), pairs, id_col="vec_id")
+    quality = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("vec_id"), F.col("n_chars").alias("quality")
+    )
+    out = D.canonical_by_quality(
+        assigned, quality, id_col="vec_id", quality_col="quality"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("quality").cast("long").alias("quality"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("is_kept").alias("is_kept"),
+    )
+
+
+def _oracle_cluster_canonical() -> str:
+    return f"""
+    WITH RECURSIVE {_neardup_pairs_cte()},
+    e AS (SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}
+          UNION SELECT id_b, id_a FROM p WHERE cos >= {NEARDUP_THRESHOLD!r}),
+    reach AS (
+      SELECT src AS node, dst AS r FROM e
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN e ON reach.r = e.src
+    ),
+    lab AS (SELECT node, least(node, min(r)) AS cluster_id FROM reach GROUP BY node),
+    asg AS (SELECT v.vec_id, coalesce(lab.cluster_id, v.vec_id) AS cluster_id
+            FROM embeddings v LEFT JOIN lab ON v.vec_id = lab.node),
+    jq AS (SELECT asg.vec_id, asg.cluster_id, d.n_chars AS quality
+           FROM asg JOIN documents d ON d.doc_id = asg.vec_id),
+    r AS (SELECT vec_id, cluster_id, quality,
+            row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY quality DESC, vec_id) AS rn
+          FROM jq),
+    bst AS (SELECT cluster_id, vec_id AS canonical_id FROM r WHERE rn = 1),
+    cnt AS (SELECT cluster_id, count(*) AS n_members FROM jq GROUP BY 1)
+    SELECT jq.vec_id, jq.cluster_id, jq.quality::BIGINT AS quality,
+           bst.canonical_id, cnt.n_members::BIGINT AS n_members,
+           (jq.vec_id = bst.canonical_id) AS is_kept
+    FROM jq JOIN bst USING (cluster_id) JOIN cnt USING (cluster_id)
+    """
+
+
+OVERLAP_N = 5
+
+
+def _oracle_gram_cte(keep: str) -> str:
+    """Shared word-5-gram CTE prefix (base/g/x), parameterised on the
+    carried column — parity twin of dedup.word_ngrams (lowercase,
+    whitespace-collapse, <n-word texts collapse to one whole-text
+    gram, per-row distinct)."""
+    n = OVERLAP_N
+    parts = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(n))
+    return f"""
+    base AS (SELECT {keep},
+               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+             FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    g AS (SELECT {keep},
+            CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                 ELSE list_distinct(list_transform(range(0, len(w) - {n - 1}),
+                        i -> {parts})) END AS gs
+          FROM base),
+    x AS (SELECT {keep}, unnest(gs) AS gr FROM g)
+    """
+
+
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source 5-gram containment matrix: the contamination /
+    re-crawl report run before mixing snapshots. Corpus collapses to
+    distinct (source, gram-md5) before any join; the pair join is an
+    equi-join on the 32-byte hash, never doc x doc."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("source", "text")
+    )
+    return T.source_ngram_containment(docs, n=OVERLAP_N)
+
+
+def _oracle_source_overlap() -> str:
+    return f"""
+    WITH {_oracle_gram_cte("source")},
+    d AS (SELECT DISTINCT source, md5(gr) AS h FROM x),
+    sz AS (SELECT source, count(*) AS n FROM d GROUP BY 1),
+    cm AS (SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_common
+           FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT cm.source_a, cm.source_b, cm.n_common::BIGINT AS n_common,
+           sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b,
+           floor(cm.n_common * 1000000.0 / sa.n)::BIGINT AS contain_a_in_b_x1e6,
+           floor(cm.n_common * 1000000.0 / sb.n)::BIGINT AS contain_b_in_a_x1e6
+    FROM cm JOIN sz sa ON sa.source = cm.source_a
+            JOIN sz sb ON sb.source = cm.source_b
+    """
+
+
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of each doc's grams
+    found nowhere else in the corpus — the diversity dual of the
+    dup-span family. One gram-hash shuffle for document frequency,
+    one doc-id shuffle for the ratio; no pairwise join."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.ngram_novelty(docs, n=OVERLAP_N)
+
+
+def _oracle_ngram_novelty() -> str:
+    return f"""
+    WITH {_oracle_gram_cte("doc_id")},
+    d AS (SELECT DISTINCT doc_id, md5(gr) AS h FROM x),
+    dfq AS (SELECT h, count(*) AS dfc FROM d GROUP BY 1)
+    SELECT doc_id, count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           floor(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) * 1000000.0
+                 / count(*))::BIGINT AS novelty_x1e6
+    FROM d JOIN dfq USING (h) GROUP BY 1
+    """
+
+
+def q_domain_reweight(spark: SparkSession, sf: str) -> DataFrame:
+    """DoReMi-flavoured one-step domain reweighting: per-source mean
+    unigram NLL vs the token-weighted global mean; sources above
+    average get weight proportional to their excess (uniform fallback
+    when none are). Exact-integer micro-nats end to end."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+        )
+    )
+    return T.domain_reweight(docs)
+
+
+def _oracle_domain_reweight() -> str:
+    return """
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    tw AS (SELECT doc_id, unnest(w) AS t FROM base),
+    cnt AS (SELECT t, count(*) AS c FROM tw GROUP BY 1),
+    st AS (SELECT sum(c) AS tt, count(*) AS v FROM cnt),
+    sc AS (SELECT tw.doc_id,
+                  floor(-ln((cnt.c + 1.0) / (st.tt + st.v)) * 1000000.0 + 0.5)::BIGINT AS nll
+           FROM tw JOIN cnt USING (t) CROSS JOIN st),
+    doc AS (SELECT doc_id, count(*) AS n_tok, sum(nll) AS sum_nll FROM sc GROUP BY 1),
+    ps AS (SELECT d2.source, sum(doc.n_tok) AS n_tok, sum(doc.sum_nll) AS sum_nll
+           FROM doc JOIN documents d2 USING (doc_id) GROUP BY 1),
+    ps2 AS (SELECT source, n_tok, sum_nll,
+              floor(sum_nll::DOUBLE / n_tok)::BIGINT AS mean_nll_x1e6 FROM ps),
+    gm AS (SELECT floor(sum(sum_nll)::DOUBLE / sum(n_tok))::BIGINT AS gmean FROM ps2),
+    ex AS (SELECT source, n_tok, mean_nll_x1e6,
+             greatest(mean_nll_x1e6 - gm.gmean, 0)::BIGINT AS excess_x1e6
+           FROM ps2 CROSS JOIN gm),
+    sm AS (SELECT sum(excess_x1e6) AS se, count(*) AS ns FROM ex)
+    SELECT source, n_tok::BIGINT AS n_tok, mean_nll_x1e6, excess_x1e6,
+           CASE WHEN sm.se > 0 THEN floor(excess_x1e6 * 1000000.0 / sm.se)
+                ELSE floor(1000000.0 / sm.ns) END::BIGINT AS weight_x1e6
+    FROM ex CROSS JOIN sm
+    """
+
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -4789,6 +5072,11 @@ def queries():
         "sketch_quantiles": q_sketch_quantiles,
         "hard_negatives": q_hard_negatives,
         "length_trim": q_length_trim,
+        "rrf_fusion": q_rrf_fusion,
+        "cluster_canonical": q_cluster_canonical,
+        "source_overlap": q_source_overlap,
+        "ngram_novelty": q_ngram_novelty,
+        "domain_reweight": q_domain_reweight,
     }
 
 
@@ -4894,4 +5182,9 @@ def oracle_sql():
         "sketch_quantiles": _oracle_sketch_quantiles(),
         "hard_negatives": _oracle_hard_negatives(),
         "length_trim": _oracle_length_trim(),
+        "rrf_fusion": _oracle_rrf_fusion(),
+        "cluster_canonical": _oracle_cluster_canonical(),
+        "source_overlap": _oracle_source_overlap(),
+        "ngram_novelty": _oracle_ngram_novelty(),
+        "domain_reweight": _oracle_domain_reweight(),
     }

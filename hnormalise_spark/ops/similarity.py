@@ -548,3 +548,58 @@ def hard_negatives(
         .filter(F.col("rank") <= F.lit(int(k)))
         .select("q_id", F.col("rank").cast("int"), id_col, "cos_x1e6")
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k_const: int = 60,
+    topk: int = 20,
+    key: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two retrieval rankings — the standard way to combine a lexical
+    list (BM25) with a dense list (embedding cosine), or an exact
+    ranking with a quantized/approximate one, without score
+    calibration: rrf(d) = sum over lists of 1/(k + rank_list(d)).
+
+    Inputs carry (``key``, ``rank``) with rank 1-based; a document
+    missing from one list contributes 0 from it (the full-outer
+    join). The score is held in 1e-6 fixed point — floor(1e6/(k+r))
+    per list — so both engines sum identical integers and ordering is
+    exact, no float drift.
+
+    Scale shape: ranked lists are top-k by construction (thousands of
+    rows per query, not corpus-sized), so the fusion join is
+    broadcast-sized; the final top-``topk`` is an orderBy+limit that
+    compiles to TakeOrderedAndProject. For multi-query fusion, add the
+    query id to ``key`` upstream and rank per query — the same join
+    shape, hash-partitioned on the query id.
+
+    Returns (key, rank_a, rank_b, rrf_x1e6, fused_rank), fused order
+    fully deterministic (score DESC, key ASC).
+    """
+    from pyspark.sql import Window
+
+    a = ranked_a.select(F.col(key), F.col("rank").alias("_ra"))
+    b = ranked_b.select(F.col(key), F.col("rank").alias("_rb"))
+    j = a.join(b, key, "full_outer")
+
+    def part(r: Column) -> Column:
+        return F.coalesce(
+            F.floor(F.lit(1000000.0) / (F.lit(int(k_const)) + r)).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    fused = (
+        j.select(
+            F.col(key),
+            F.col("_ra").cast("int").alias("rank_a"),
+            F.col("_rb").cast("int").alias("rank_b"),
+            (part(F.col("_ra")) + part(F.col("_rb"))).alias("rrf_x1e6"),
+        )
+        .orderBy(F.desc("rrf_x1e6"), F.col(key).asc())
+        .limit(int(topk))
+    )
+    w = Window.orderBy(F.desc("rrf_x1e6"), F.col(key).asc())
+    return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))

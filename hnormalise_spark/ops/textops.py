@@ -1358,3 +1358,206 @@ def fertility_stats(
             F.expr("n_chars * 1000000L div n_words"),
         ).alias("chars_per_word_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap + per-doc novelty
+
+
+def _doc_gram_hashes(
+    docs: DataFrame, n: int, text_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """Distinct word-``n``-gram md5 hashes per row, exploded: one row
+    per (keep_cols..., gram hash). md5 is computed identically by
+    Spark and DuckDB, so overlap COUNTS on hashes equal counts on the
+    raw grams in both engines even in the (negligible) collision case
+    — both collide the same way. Hashing before the shuffle keeps the
+    exchange rows at 32 bytes instead of raw-gram width."""
+    from hnormalise_spark.ops.dedup import word_ngrams
+
+    return docs.select(
+        *keep_cols, F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(*keep_cols, F.md5(F.col("_g")).alias("gram_h"))
+
+
+def source_ngram_containment(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-source n-gram containment matrix: for every
+    unordered source pair, how much of each side's distinct-gram set
+    the other side covers — the corpus-level contamination /
+    redundancy report run before mixing crawl snapshots (a snapshot
+    whose grams are 90% contained in another is mostly re-crawl).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-hash)
+    first (one map-side-combined shuffle, output bounded by distinct
+    grams, not tokens); the pair join is an equi-join ON THE GRAM HASH
+    between frames already deduped per source, so each gram emits at
+    most |sources|² pairs, never doc×doc; the final matrix is
+    |sources|²-sized. No all-pairs document comparison exists.
+
+    Returns (source_a, source_b, n_common, n_a, n_b,
+    contain_a_in_b_x1e6, contain_b_in_a_x1e6), source_a < source_b.
+    """
+    d = _doc_gram_hashes(
+        docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")),
+        n,
+        text_col,
+        [group_col],
+    ).distinct()
+    sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = d.select(F.col(group_col).alias("source_a"), "gram_h")
+    b = d.select(F.col(group_col).alias("source_b"), "gram_h")
+    common = (
+        a.join(b, "gram_h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(group_col).alias("source_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.floor(F.col("n_common") * F.lit(1000000.0) / F.col("n_a"))
+            .cast("long")
+            .alias("contain_a_in_b_x1e6"),
+            F.floor(F.col("n_common") * F.lit(1000000.0) / F.col("n_b"))
+            .cast("long")
+            .alias("contain_b_in_a_x1e6"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that occur in NO other document — the
+    diversity signal dual to the dup-span family (dup_spans finds
+    repeated mass; this scores each doc by how much it alone
+    contributes to the corpus).
+
+    Scale shape: distinct (doc, gram-hash) explode, then ONE shuffle
+    on the gram hash to count carrying documents (map-side combine
+    collapses to distinct grams), then one shuffle back on doc_id for
+    the per-doc ratio. The document-frequency frame is gram-distinct
+    sized; no pairwise join at all.
+
+    Returns (id, n_grams, n_unique, novelty_x1e6).
+    """
+    d = _doc_gram_hashes(
+        docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")),
+        n,
+        text_col,
+        [id_col],
+    )
+    df_counts = d.groupBy("gram_h").agg(F.count(F.lit(1)).alias("_df"))
+    j = d.join(df_counts, "gram_h")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            F.floor(F.col("n_unique") * F.lit(1000000.0) / F.col("n_grams"))
+            .cast("long")
+            .alias("novelty_x1e6"),
+        )
+    )
+
+
+def domain_reweight(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """DoReMi-flavoured one-step domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, the linear/integer form): score every document
+    with the corpus-trained unigram LM, aggregate mean NLL per source,
+    and assign each source an upweight proportional to its EXCESS loss
+    over the token-weighted global mean (zero for at-or-below-average
+    sources; uniform fallback when no source is above average). Hard
+    domains get more replay — the one-proxy-step skeleton of the
+    paper's group-DRO loop, exact-integer so both engines agree
+    bit-for-bit.
+
+    Scale shape: inherits ``lm_unigram_score``'s shape (model-sized
+    count shuffle + broadcast vocab join); the per-source aggregate is
+    one more map-side-combined shuffle to |sources| rows, and all the
+    weight arithmetic runs on that tiny frame (scalar total via a
+    1-row cross join, never a corpus collect).
+
+    Returns one row per source: (source, n_tok, mean_nll_x1e6,
+    excess_x1e6, weight_x1e6).
+    """
+    scored = lm_unigram_score(docs, text_col=text_col, id_col=id_col)
+    src = docs.select(id_col, group_col)
+    per_src = (
+        scored.join(src, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_tok").alias("n_tok"),
+            F.sum("sum_nll_x1e6").alias("_sum_nll"),
+        )
+        .select(
+            group_col,
+            F.col("n_tok").cast("long").alias("n_tok"),
+            "_sum_nll",
+            F.floor(F.col("_sum_nll").cast("double") / F.col("n_tok"))
+            .cast("long")
+            .alias("mean_nll_x1e6"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("_sum_nll").alias("_tot_nll"), F.sum("n_tok").alias("_tot_tok")
+    ).select(
+        F.floor(F.col("_tot_nll").cast("double") / F.col("_tot_tok"))
+        .cast("long")
+        .alias("_gmean")
+    )
+    ex = per_src.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        "n_tok",
+        "mean_nll_x1e6",
+        F.greatest(F.col("mean_nll_x1e6") - F.col("_gmean"), F.lit(0))
+        .cast("long")
+        .alias("excess_x1e6"),
+    )
+    sums = ex.agg(
+        F.sum("excess_x1e6").alias("_sum_ex"),
+        F.count(F.lit(1)).alias("_n_src"),
+    )
+    return ex.crossJoin(F.broadcast(sums)).select(
+        group_col,
+        "n_tok",
+        "mean_nll_x1e6",
+        "excess_x1e6",
+        F.when(
+            F.col("_sum_ex") > 0,
+            F.floor(
+                F.col("excess_x1e6") * F.lit(1000000.0) / F.col("_sum_ex")
+            ).cast("long"),
+        )
+        .otherwise(
+            F.floor(F.lit(1000000.0) / F.col("_n_src")).cast("long")
+        )
+        .alias("weight_x1e6"),
+    )
