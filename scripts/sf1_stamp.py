@@ -49,6 +49,13 @@ LEGS = [
     "token_zipf", "token_repetition", "stratified_take",
     "source_token_kl", "vocab_remap", "length_buckets",
     "batch_pipeline", "token_clusters", "token_lm",
+    # final round-5 additions: documents-table n-gram/curation ops and
+    # the embedding-side retrieval/dedup legs (embeddings.parquet is
+    # also replicated 10x below; the replicas are direction-perturbed
+    # so they form realistic near-dup clusters rather than exact
+    # copies — the hot-bucket stress case the guards exist for)
+    "source_overlap", "ngram_novelty", "domain_reweight", "length_trim",
+    "semdedup", "hard_negatives", "rrf_fusion", "cluster_canonical",
 ]
 REPLICAS = 10
 
@@ -81,6 +88,34 @@ def build_sf1(spark) -> None:
     )
     big.write.mode("overwrite").parquet(out)
 
+    # Embeddings 10x: same id shift as documents (the synthetic corpus
+    # keeps doc_id == vec_id, so quality joins still land), with a
+    # deterministic per-(replica, dim) direction perturbation so the
+    # replicas are NEAR-duplicates of the originals — a planted dense
+    # semantic cluster per vector, the exact skew shape the
+    # embedding_neardup hot-bucket guard exists for.
+    eout = os.path.join(SF1, "embeddings.parquet")
+    if not os.path.exists(os.path.join(eout, "_SUCCESS")):
+        emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+        bige = (
+            emb.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("vec_id") + F.col("_r") * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: (
+                        x
+                        + (F.col("_r").cast("float"))
+                        * ((i % 7).cast("float") - F.lit(3.0))
+                        * F.lit(0.002)
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+            .repartition(32, "vec_id")
+        )
+        bige.write.mode("overwrite").parquet(eout)
+
 
 def plan_shape(df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -106,7 +141,10 @@ def main() -> int:
 
     qs = entry.queries()
     results = {}
+    only = set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
     for leg in LEGS:
+        if only and leg not in only:
+            continue
         row = {}
         for sf_name, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
             df = qs[leg](spark, sf_dir)
