@@ -4973,6 +4973,65 @@ def _oracle_domain_reweight() -> str:
     """
 
 
+def q_data_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus data card (Datasheets for Datasets): global totals,
+    exact-dup count under the ``exact_dedup`` fingerprint, per-source
+    and per-language doc counts, and exact length percentiles — one
+    long-format frame per corpus release. The percentile pass runs on
+    a value histogram (bounded by max doc length), never a global sort
+    of the corpus."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    return T.data_card(docs)
+
+
+def _oracle_data_card() -> str:
+    return """
+    WITH f AS (SELECT doc_id, source, lang, n_chars::BIGINT AS chars,
+                 (CASE WHEN text IS NULL THEN 0
+                       WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END)::BIGINT AS words,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+               FROM documents),
+    g AS (SELECT count(*)::BIGINT AS docs,
+                 sum(chars)::BIGINT AS chars,
+                 sum(words)::BIGINT AS words,
+                 count(DISTINCT source)::BIGINT AS sources,
+                 count(DISTINCT lang)::BIGINT AS langs,
+                 (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs
+          FROM f),
+    r AS (SELECT chars AS v,
+                 row_number() OVER (ORDER BY chars) - 1 AS rn,
+                 count(*) OVER () AS n
+          FROM f WHERE chars IS NOT NULL)
+    SELECT 'global' AS section, 'docs' AS metric, docs AS value FROM g
+    UNION ALL SELECT 'global', 'chars', chars FROM g
+    UNION ALL SELECT 'global', 'words', words FROM g
+    UNION ALL SELECT 'global', 'sources', sources FROM g
+    UNION ALL SELECT 'global', 'langs', langs FROM g
+    UNION ALL SELECT 'global', 'dup_docs', dup_docs FROM g
+    UNION ALL SELECT 'source_docs', source, count(*)::BIGINT
+              FROM f GROUP BY source
+    UNION ALL SELECT 'lang_docs', lang, count(*)::BIGINT
+              FROM f GROUP BY lang
+    UNION ALL SELECT 'len_pct', 'p50_chars',
+              max(CASE WHEN rn = floor((n - 1) * 0.50) THEN v END)::BIGINT FROM r
+    UNION ALL SELECT 'len_pct', 'p90_chars',
+              max(CASE WHEN rn = floor((n - 1) * 0.90) THEN v END)::BIGINT FROM r
+    UNION ALL SELECT 'len_pct', 'p99_chars',
+              max(CASE WHEN rn = floor((n - 1) * 0.99) THEN v END)::BIGINT FROM r
+    """
+
 
 def queries():
     return {
@@ -5077,6 +5136,7 @@ def queries():
         "source_overlap": q_source_overlap,
         "ngram_novelty": q_ngram_novelty,
         "domain_reweight": q_domain_reweight,
+        "data_card": q_data_card,
     }
 
 
@@ -5187,4 +5247,5 @@ def oracle_sql():
         "source_overlap": _oracle_source_overlap(),
         "ngram_novelty": _oracle_ngram_novelty(),
         "domain_reweight": _oracle_domain_reweight(),
+        "data_card": _oracle_data_card(),
     }

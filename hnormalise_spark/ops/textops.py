@@ -1561,3 +1561,149 @@ def domain_reweight(
         )
         .alias("weight_x1e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus data card
+
+
+def data_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    ps: tuple[float, ...] = (0.50, 0.90, 0.99),
+) -> DataFrame:
+    """One-page corpus data card — the summary a training-data team
+    publishes with a release (Datasheets for Datasets, Gebru et al.
+    2021; the quantitative half of a model card's data section):
+    global totals (docs, chars, whitespace tokens, distinct sources /
+    languages, exact-duplicate docs under ``normalized_text`` md5 —
+    the same fingerprint ``exact_dedup`` keys on), per-source and
+    per-language doc counts, and EXACT length percentiles.
+
+    Long format (section, metric, value) so one frame carries the
+    whole card and downstream diffing between corpus versions is a
+    single anti-join.
+
+    Scale shape, pass by pass:
+    - global totals: ONE aggregate over the corpus; the three
+      count-distincts share a single Expand pass (4x rows through one
+      shuffle — the same shape the ``distinct_counts`` profile query
+      pins), never one job per metric.
+    - per-source / per-language: one groupBy each on a low-cardinality
+      key — map-side partial combine does almost all the work.
+    - length percentiles: the corpus collapses to a VALUE HISTOGRAM
+      (groupBy on ``chars_col``, cardinality bounded by max doc
+      length, not corpus size) and the rank selection runs as a
+      cumulative window over that tiny frame — the same observed-value
+      rank definition as ``doclen_stats`` (value at 0-based rank
+      floor((n-1)*p) of the ascending sort), exact on every engine,
+      with the single-partition window paid only on the histogram.
+
+    Null-text rows count toward docs/sources/langs but contribute 0
+    tokens and a NULL fingerprint (count(DISTINCT) skips NULLs, so an
+    all-null corpus reports 0 dup docs, matching SQL).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("_src"),
+        F.col(lang_col).alias("_lang"),
+        F.col(chars_col).cast("long").alias("_chars"),
+        token_count(F.col(text_col)).cast("long").alias("_words"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+        ).alias("_fp"),
+    )
+
+    g = base.agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("_chars").cast("long").alias("chars"),
+        F.sum("_words").cast("long").alias("words"),
+        F.countDistinct("_src").cast("long").alias("sources"),
+        F.countDistinct("_lang").cast("long").alias("langs"),
+        (F.count(F.lit(1)) - F.countDistinct("_fp"))
+        .cast("long")
+        .alias("dup_docs"),
+    )
+    global_rows = g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("global").alias("section"),
+                        F.lit(m).alias("metric"),
+                        F.col(m).alias("value"),
+                    )
+                    for m in (
+                        "docs",
+                        "chars",
+                        "words",
+                        "sources",
+                        "langs",
+                        "dup_docs",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.section", "r.metric", "r.value")
+
+    src_rows = base.groupBy(F.col("_src").alias("metric")).agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(F.lit("source_docs").alias("section"), "metric", "value")
+    lang_rows = base.groupBy(F.col("_lang").alias("metric")).agg(
+        F.count(F.lit(1)).cast("long").alias("value")
+    ).select(F.lit("lang_docs").alias("section"), "metric", "value")
+
+    hist = base.filter(F.col("_chars").isNotNull()).groupBy(
+        F.col("_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = hist.agg(F.sum("c").alias("n"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(F.broadcast(tot))
+    pct_rows = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.floor((F.col("n") - 1) * F.lit(float(p))) + 1,
+                    F.col("v"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{int(round(p * 100)):02d}_chars")
+            for p in ps
+        ]
+    )
+    pct_long = pct_rows.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("len_pct").alias("section"),
+                        F.lit(f"p{int(round(p * 100)):02d}_chars").alias(
+                            "metric"
+                        ),
+                        F.col(f"p{int(round(p * 100)):02d}_chars").alias(
+                            "value"
+                        ),
+                    )
+                    for p in ps
+                ]
+            )
+        ).alias("r")
+    ).select("r.section", "r.metric", "r.value")
+
+    return (
+        global_rows.unionByName(src_rows)
+        .unionByName(lang_rows)
+        .unionByName(pct_long)
+    )
