@@ -4994,42 +4994,103 @@ def q_data_card(spark: SparkSession, sf: str) -> DataFrame:
     return T.data_card(docs)
 
 
+def _card_cte_block(rel: str, p: str) -> str:
+    """The data-card CTE chain over relation ``rel``, CTE names
+    prefixed with ``p`` so two corpus versions can share one query."""
+    return f"""
+    {p}f AS (SELECT doc_id, source, lang, n_chars::BIGINT AS chars,
+               (CASE WHEN text IS NULL THEN 0
+                     WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                END)::BIGINT AS words,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+             FROM ({rel})),
+    {p}g AS (SELECT count(*)::BIGINT AS docs,
+                    sum(chars)::BIGINT AS chars,
+                    sum(words)::BIGINT AS words,
+                    count(DISTINCT source)::BIGINT AS sources,
+                    count(DISTINCT lang)::BIGINT AS langs,
+                    (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs
+             FROM {p}f),
+    {p}r AS (SELECT chars AS v,
+                    row_number() OVER (ORDER BY chars) - 1 AS rn,
+                    count(*) OVER () AS n
+             FROM {p}f WHERE chars IS NOT NULL),
+    {p}card AS (
+      SELECT 'global' AS section, 'docs' AS metric, docs AS value FROM {p}g
+      UNION ALL SELECT 'global', 'chars', chars FROM {p}g
+      UNION ALL SELECT 'global', 'words', words FROM {p}g
+      UNION ALL SELECT 'global', 'sources', sources FROM {p}g
+      UNION ALL SELECT 'global', 'langs', langs FROM {p}g
+      UNION ALL SELECT 'global', 'dup_docs', dup_docs FROM {p}g
+      UNION ALL SELECT 'source_docs', source, count(*)::BIGINT
+                FROM {p}f GROUP BY source
+      UNION ALL SELECT 'lang_docs', lang, count(*)::BIGINT
+                FROM {p}f GROUP BY lang
+      UNION ALL SELECT 'len_pct', 'p50_chars',
+                max(CASE WHEN rn = floor((n - 1) * 0.50) THEN v END)::BIGINT FROM {p}r
+      UNION ALL SELECT 'len_pct', 'p90_chars',
+                max(CASE WHEN rn = floor((n - 1) * 0.90) THEN v END)::BIGINT FROM {p}r
+      UNION ALL SELECT 'len_pct', 'p99_chars',
+                max(CASE WHEN rn = floor((n - 1) * 0.99) THEN v END)::BIGINT FROM {p}r)"""
+
+
 def _oracle_data_card() -> str:
-    return """
-    WITH f AS (SELECT doc_id, source, lang, n_chars::BIGINT AS chars,
-                 (CASE WHEN text IS NULL THEN 0
-                       WHEN trim(text) = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                  END)::BIGINT AS words,
-                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-               FROM documents),
-    g AS (SELECT count(*)::BIGINT AS docs,
-                 sum(chars)::BIGINT AS chars,
-                 sum(words)::BIGINT AS words,
-                 count(DISTINCT source)::BIGINT AS sources,
-                 count(DISTINCT lang)::BIGINT AS langs,
-                 (count(*) - count(DISTINCT fp))::BIGINT AS dup_docs
-          FROM f),
-    r AS (SELECT chars AS v,
-                 row_number() OVER (ORDER BY chars) - 1 AS rn,
-                 count(*) OVER () AS n
-          FROM f WHERE chars IS NOT NULL)
-    SELECT 'global' AS section, 'docs' AS metric, docs AS value FROM g
-    UNION ALL SELECT 'global', 'chars', chars FROM g
-    UNION ALL SELECT 'global', 'words', words FROM g
-    UNION ALL SELECT 'global', 'sources', sources FROM g
-    UNION ALL SELECT 'global', 'langs', langs FROM g
-    UNION ALL SELECT 'global', 'dup_docs', dup_docs FROM g
-    UNION ALL SELECT 'source_docs', source, count(*)::BIGINT
-              FROM f GROUP BY source
-    UNION ALL SELECT 'lang_docs', lang, count(*)::BIGINT
-              FROM f GROUP BY lang
-    UNION ALL SELECT 'len_pct', 'p50_chars',
-              max(CASE WHEN rn = floor((n - 1) * 0.50) THEN v END)::BIGINT FROM r
-    UNION ALL SELECT 'len_pct', 'p90_chars',
-              max(CASE WHEN rn = floor((n - 1) * 0.90) THEN v END)::BIGINT FROM r
-    UNION ALL SELECT 'len_pct', 'p99_chars',
-              max(CASE WHEN rn = floor((n - 1) * 0.99) THEN v END)::BIGINT FROM r
+    return f"""
+    WITH {_card_cte_block("SELECT * FROM documents", "a")}
+    SELECT section, metric, value FROM acard
+    """
+
+
+# Curated version B for the card diff: exact-dedup keepers (min doc_id
+# per normalized-text fingerprint) inside the [50, 400] char band.
+CARD_B_REL = """SELECT d.* FROM documents d
+    JOIN (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                 min(doc_id) AS keeper
+          FROM documents GROUP BY 1) k ON d.doc_id = k.keeper
+    WHERE d.n_chars BETWEEN 50 AND 400"""
+
+
+def q_card_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-card diff between the raw corpus (version A) and a
+    deterministic curated version B (exact-dedup keepers inside the
+    [50, 400]-char band) — the release-gate "what exactly changed"
+    check. Both cards come from the REAL ``data_card`` operator; the
+    diff is a full-outer join on (section, metric), so sources or
+    langs that curation drops entirely still surface with a NULL B
+    side."""
+    from hnormalise_spark.ops import dedup as D
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    keepers = docs.groupBy(
+        F.md5(D.normalized_text(F.col("text"))).alias("_fp")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    curated = docs.join(keepers.select("doc_id"), "doc_id").filter(
+        F.col("n_chars").between(50, 400)
+    )
+    return T.card_diff(T.data_card(docs), T.data_card(curated))
+
+
+def _oracle_card_diff() -> str:
+    return f"""
+    WITH {_card_cte_block("SELECT * FROM documents", "a")},
+    {_card_cte_block(CARD_B_REL, "b")}
+    SELECT coalesce(acard.section, bcard.section) AS section,
+           coalesce(acard.metric, bcard.metric) AS metric,
+           acard.value AS value_a,
+           bcard.value AS value_b,
+           (coalesce(bcard.value, 0) - coalesce(acard.value, 0))::BIGINT AS delta
+    FROM acard FULL OUTER JOIN bcard
+      ON acard.section = bcard.section AND acard.metric = bcard.metric
     """
 
 
@@ -5137,6 +5198,7 @@ def queries():
         "ngram_novelty": q_ngram_novelty,
         "domain_reweight": q_domain_reweight,
         "data_card": q_data_card,
+        "card_diff": q_card_diff,
     }
 
 
@@ -5248,4 +5310,5 @@ def oracle_sql():
         "ngram_novelty": _oracle_ngram_novelty(),
         "domain_reweight": _oracle_domain_reweight(),
         "data_card": _oracle_data_card(),
+        "card_diff": _oracle_card_diff(),
     }

@@ -1707,3 +1707,36 @@ def data_card(
         .unionByName(lang_rows)
         .unionByName(pct_long)
     )
+
+
+def card_diff(card_a: DataFrame, card_b: DataFrame) -> DataFrame:
+    """Diff two ``data_card`` frames (corpus version A → version B):
+    full-outer join on (section, metric) so metrics that appear only
+    in one version (a source dropped by curation, a new language)
+    still surface, with the missing side reported as NULL and the
+    delta computed against 0. This is the release-gate check a
+    training-data team runs before swapping corpus versions — "what
+    exactly changed, and by how much?".
+
+    Scale shape: cards are metric-count-sized (tens of rows), so the
+    join is trivially broadcast; all the heavy lifting happened inside
+    the two ``data_card`` calls.
+    """
+    a = card_a.select(
+        "section", "metric", F.col("value").alias("value_a")
+    )
+    b = card_b.select(
+        "section", "metric", F.col("value").alias("value_b")
+    )
+    return a.join(b, ["section", "metric"], "full_outer").select(
+        "section",
+        "metric",
+        "value_a",
+        "value_b",
+        (
+            F.coalesce(F.col("value_b"), F.lit(0))
+            - F.coalesce(F.col("value_a"), F.lit(0))
+        )
+        .cast("long")
+        .alias("delta"),
+    )

@@ -60,3 +60,45 @@ def test_data_card_single_doc(spark):
     assert c[("global", "dup_docs")] == 0
     assert c[("len_pct", "p50_chars")] == 8
     assert c[("len_pct", "p99_chars")] == 8
+
+
+# ---------------------------------------------------------------------------
+# card_diff
+
+
+def test_card_diff_deltas_and_dropped_source(spark):
+    from hnormalise_spark.ops.textops import card_diff
+
+    a = _docs(
+        spark,
+        [
+            (1, "a b", "en", "s0", 10),
+            (2, "c d", "en", "s1", 20),
+        ],
+    )
+    # curated version drops source s1 entirely
+    b = _docs(spark, [(1, "a b", "en", "s0", 10)])
+    d = {
+        (r["section"], r["metric"]): r
+        for r in card_diff(data_card(a), data_card(b)).collect()
+    }
+    g = d[("global", "docs")]
+    assert (g["value_a"], g["value_b"], g["delta"]) == (2, 1, -1)
+    s1 = d[("source_docs", "s1")]
+    assert s1["value_a"] == 1 and s1["value_b"] is None and s1["delta"] == -1
+    assert d[("source_docs", "s0")]["delta"] == 0
+    # percentile shift: A p50 over {10,20} is rank 0 -> 10; B -> 10
+    assert d[("len_pct", "p50_chars")]["delta"] == 0
+
+
+def test_card_diff_new_metric_in_b(spark):
+    from hnormalise_spark.ops.textops import card_diff
+
+    a = _docs(spark, [(1, "a", "en", "s0", 1)])
+    b = _docs(spark, [(1, "a", "en", "s0", 1), (2, "b", "de", "s0", 1)])
+    d = {
+        (r["section"], r["metric"]): r
+        for r in card_diff(data_card(a), data_card(b)).collect()
+    }
+    de = d[("lang_docs", "de")]
+    assert de["value_a"] is None and de["value_b"] == 1 and de["delta"] == 1
