@@ -56,6 +56,7 @@ LEGS = [
     # copies — the hot-bucket stress case the guards exist for)
     "source_overlap", "ngram_novelty", "domain_reweight", "length_trim",
     "semdedup", "hard_negatives", "rrf_fusion", "cluster_canonical",
+    "data_card", "card_diff",
 ]
 REPLICAS = 10
 
