@@ -1301,12 +1301,13 @@ def _oracle_grok_apache() -> str:
 # -pinned; ops_triage + parse_slurm + the grok legs keep the dispatch
 # path itself in-window), as does winnow_fp (r4 driver-green; its
 # round-5 Horner-mod fix is pinned by test_winnow.py large-k goldens
-# and the local sweep). The seven final additions (hard_negatives,
+# and the local sweep). The nine final additions (hard_negatives,
 # length_trim, rrf_fusion, cluster_canonical, source_overlap,
-# ngram_novelty, domain_reweight) arrived after the window filled;
-# each carries local oracle-sweep passes at sf0.001/0.01/0.1 plus
-# test_round5d.py / test_round5e.py, and length_trim's oracle replays
-# the whole sketch_quantiles machinery that IS in-window.
+# ngram_novelty, domain_reweight, data_card, card_diff) arrived after
+# the window filled; each carries local oracle-sweep passes at
+# sf0.001/0.01/0.1 plus test_round5d/e/f.py, length_trim's oracle
+# replays the whole sketch_quantiles machinery that IS in-window, and
+# card_diff's oracle replays data_card's card construction twice.
 _WITNESS_FIRST = [
     # never in any CORRECTNESS_r*.json
     "bpe_train", "bpe_encode", "winnow_pairs", "bm25_indexed",
