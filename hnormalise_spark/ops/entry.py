@@ -5094,6 +5094,46 @@ def _oracle_card_diff() -> str:
     """
 
 
+def q_pmi_phrases(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-40 PMI collocations over adjacent word pairs (pair-count
+    floor 5) — the Mikolov phrase-detection pass vocabulary
+    construction runs before BPE training so multi-word units get
+    their own tokens. Integer micro-nat PMI with a total (pmi, w1,
+    w2) order, so the top-k set is deterministic cross-engine."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("text")
+    )
+    return T.pmi_collocations(docs, min_count=5, k=40)
+
+
+def _oracle_pmi_phrases() -> str:
+    return """
+    WITH w AS (SELECT [x FOR x IN split(text, ' ') IF x <> ''] AS ws
+               FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+    uni AS (SELECT word, count(*)::BIGINT AS c1
+            FROM (SELECT unnest(ws) AS word FROM w) GROUP BY 1),
+    tot AS (SELECT sum(c1)::BIGINT AS t_uni FROM uni),
+    pairs AS (SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+                             FOR i IN range(1, len(ws))], recursive := true)
+              FROM w WHERE len(ws) >= 2),
+    big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+    btot AS (SELECT sum(c12)::BIGINT AS t_big FROM big)
+    SELECT w1, w2, c12 AS pair_count,
+           floor(ln((c12::DOUBLE * t_uni::DOUBLE * t_uni::DOUBLE)
+                    / (t_big::DOUBLE * u1.c1::DOUBLE * u2.c1::DOUBLE))
+                 * 1000000.0 + 0.5)::BIGINT AS pmi_x1e6
+    FROM big
+    JOIN uni u1 ON u1.word = big.w1
+    JOIN uni u2 ON u2.word = big.w2
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE c12 >= 5
+    ORDER BY pmi_x1e6 DESC, w1, w2
+    LIMIT 40
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5199,6 +5239,7 @@ def queries():
         "domain_reweight": q_domain_reweight,
         "data_card": q_data_card,
         "card_diff": q_card_diff,
+        "pmi_phrases": q_pmi_phrases,
     }
 
 
@@ -5311,4 +5352,5 @@ def oracle_sql():
         "domain_reweight": _oracle_domain_reweight(),
         "data_card": _oracle_data_card(),
         "card_diff": _oracle_card_diff(),
+        "pmi_phrases": _oracle_pmi_phrases(),
     }

@@ -1740,3 +1740,104 @@ def card_diff(card_a: DataFrame, card_b: DataFrame) -> DataFrame:
         .cast("long")
         .alias("delta"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 40,
+) -> DataFrame:
+    """PMI collocation mining over adjacent word pairs — the phrase-
+    detection pass of Mikolov et al. 2013 (arXiv:1310.4546 §4) that
+    vocabulary construction runs before BPE so "new_york"-style units
+    survive tokenization: rank pairs by
+    PMI = ln(P(w1,w2) / (P(w1)·P(w2))), keep the top-k above a
+    pair-count floor (the floor is Mikolov's discounting — rare pairs
+    have inflated PMI by construction).
+
+    Cross-engine determinism (the ``source_token_kl`` discipline):
+    counts are exact ints; each pair's
+    ln((c12·T_uni·T_uni) / (T_big·c1·c2)) is evaluated in double with
+    ONE fixed left-associative operation order, scaled to micro-nats,
+    and half-up floored to integer — so partitioning cannot move a
+    score and a DuckDB oracle replays it bit-for-bit. The top-k order
+    (pmi desc, w1, w2) is total because (w1, w2) is unique.
+
+    Scale shape: TWO corpus-sized shuffles — the unigram and the
+    bigram count aggregates, both fed by explodes that fuse straight
+    into hash aggregates with map-side partial combine, so the wire
+    carries vocab-/pair-vocab-bounded partials per task, not tokens.
+    The count floor prunes the bigram table BEFORE the joins (but
+    after T_big, which must cover ALL pairs); unigram counts and the
+    two scalar totals broadcast onto it (vocab-bounded, the
+    ``lm_bigram_over`` call); the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(ws.alias("_ws"))
+
+    uni = (
+        base.select(F.explode("_ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").alias("t_uni"))
+
+    n = F.size("_ws")
+    pairs = (
+        base.filter(n >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("_ws", i).alias("w1"),
+                        F.element_at("_ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    btot = big.agg(F.sum("c12").alias("t_big"))
+
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c1").alias("_c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c1").alias("_c2"))
+    pmi = (
+        F.floor(
+            F.log(
+                (
+                    F.col("c12").cast("double")
+                    * F.col("t_uni").cast("double")
+                    * F.col("t_uni").cast("double")
+                )
+                / (
+                    F.col("t_big").cast("double")
+                    * F.col("_c1").cast("double")
+                    * F.col("_c2").cast("double")
+                )
+            )
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+    )
+    return (
+        big.filter(F.col("c12") >= int(min_count))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("pair_count"),
+            pmi.alias("pmi_x1e6"),
+        )
+        .orderBy(F.col("pmi_x1e6").desc(), "w1", "w2")
+        .limit(int(k))
+    )
