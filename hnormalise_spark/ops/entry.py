@@ -5134,6 +5134,34 @@ def _oracle_pmi_phrases() -> str:
     """
 
 
+def q_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style blocklist filtering: flag docs containing any of a
+    fixed term list, with occurrence counts and the sorted distinct
+    hit terms. One row per document (null text kept, keep=true) — the
+    small-list zero-shuffle expression path."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    return T.blocklist_filter(docs, ["dup", "junk", "slow"])
+
+
+def _oracle_blocklist() -> str:
+    return """
+    WITH bl AS (SELECT unnest(['dup', 'junk', 'slow']) AS word),
+    w AS (SELECT doc_id,
+                 unnest([x FOR x IN split(text, ' ') IF x <> '']) AS word
+          FROM documents WHERE text IS NOT NULL),
+    h AS (SELECT w.doc_id, count(*)::BIGINT AS n_hits,
+                 string_agg(DISTINCT w.word, ',' ORDER BY w.word) AS hit_terms
+          FROM w JOIN bl ON bl.word = w.word GROUP BY 1)
+    SELECT d.doc_id, h.doc_id IS NULL AS keep,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits, h.hit_terms
+    FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5240,6 +5268,7 @@ def queries():
         "data_card": q_data_card,
         "card_diff": q_card_diff,
         "pmi_phrases": q_pmi_phrases,
+        "blocklist": q_blocklist,
     }
 
 
@@ -5353,4 +5382,5 @@ def oracle_sql():
         "data_card": _oracle_data_card(),
         "card_diff": _oracle_card_diff(),
         "pmi_phrases": _oracle_pmi_phrases(),
+        "blocklist": _oracle_blocklist(),
     }

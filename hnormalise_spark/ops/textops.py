@@ -1841,3 +1841,82 @@ def pmi_collocations(
         .orderBy(F.col("pmi_x1e6").desc(), "w1", "w2")
         .limit(int(k))
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    join_threshold: int = 10_000,
+) -> DataFrame:
+    """Blocklist filtering — the C4 "bad words" / RefinedWeb URL-and-
+    term blocklist stage (Raffel et al. 2020 §2.2): flag every document
+    containing any blocklist term as a whitespace-delimited word, with
+    the total occurrence count and the sorted distinct terms that hit.
+    Returns ONE row per input row (totality — null/empty text included,
+    keep=true), so the caller chooses drop vs route-to-quarantine.
+
+    Output: (id_col, keep boolean, n_hits long, hit_terms string —
+    comma-joined sorted distinct, NULL when clean).
+
+    Scale shape — two paths on |terms|:
+
+    * small list (C4's actual regime, hundreds of terms): per-row JVM
+      expression over the split array against a literal term array —
+      ZERO shuffles, embarrassingly parallel, fuses into the parquet
+      scan with only (id, text) read. Membership is O(|terms|) per
+      token, which is exactly why this path is capped.
+    * large list (> join_threshold): explode words, broadcast-hash
+      SEMI-style inner join against the term table (the join prunes
+      the token stream to hit tokens BEFORE the per-doc aggregate, so
+      the shuffle carries hit tokens only — typically ≪ corpus), then
+      a doc-id join back for totality; AQE broadcasts the hit side
+      when it is small. This is the only shape that survives a
+      million-term blocklist, where a literal array cannot ship.
+
+    Both paths produce identical rows (pinned by tests).
+    """
+    uniq = sorted(set(terms))
+    ws = F.coalesce(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+
+    if len(uniq) <= int(join_threshold):
+        lit_terms = F.array(*[F.lit(t) for t in uniq])
+        hits_arr = F.filter(ws, lambda w: F.array_contains(lit_terms, w))
+        n_hits = F.size(hits_arr).cast("long")
+        hit_terms = F.when(
+            n_hits > 0,
+            F.concat_ws(",", F.array_sort(F.array_distinct(hits_arr))),
+        )
+        return df.select(
+            id_col,
+            (n_hits == 0).alias("keep"),
+            n_hits.alias("n_hits"),
+            hit_terms.alias("hit_terms"),
+        )
+
+    tdf = df.sparkSession.createDataFrame([(t,) for t in uniq], "word string")
+    words = df.select(id_col, F.explode(ws).alias("word"))
+    agg = (
+        words.join(F.broadcast(tdf), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("word"))).alias(
+                "hit_terms"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_hits").isNull().alias("keep"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            "hit_terms",
+        )
+    )
