@@ -587,6 +587,68 @@ def q_stream_route_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Second streaming correctness witness: stateful exact-dedup
+    (applyInPandasWithState, streaming.streaming_dedup_rows) over the
+    documents table replayed as a file stream — one emitted row per
+    fingerprint carrying the kept doc (string-min doc_id), its text,
+    and the suppressed-duplicate count. The corpus is written as ONE
+    file so availableNow lands in a single micro-batch, making the
+    kept id the GLOBAL min and n_batch_dups the global count-1 —
+    batch-equal semantics a DuckDB GROUP BY replays exactly (md5 of
+    the same lower/trim/space-collapse normalization both sides)."""
+    import tempfile
+
+    from hnormalise_spark.ops.dedup import normalized_text
+    from hnormalise_spark.streaming import streaming_dedup_rows
+
+    tmp = tempfile.mkdtemp(prefix="hn_stream_dd_")
+    in_dir, out_dir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
+    (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("raw"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    rows = (
+        spark.readStream.schema("doc_id string, raw string")
+        .parquet(in_dir)
+        .select(
+            "doc_id",
+            "raw",
+            F.md5(normalized_text(F.col("raw"))).alias("fingerprint"),
+        )
+    )
+    q = streaming_dedup_rows(rows, out_dir)
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "deduped")).select(
+        "fingerprint",
+        "doc_id",
+        "raw",
+        F.col("n_batch_dups").cast("long").alias("n_batch_dups"),
+    )
+
+
+def _oracle_stream_dedup() -> str:
+    return r"""
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, text AS raw,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL)
+    SELECT fingerprint,
+           min(doc_id) AS doc_id,
+           arg_min(raw, doc_id) AS raw,
+           (count(*) - 1)::BIGINT AS n_batch_dups
+    FROM d GROUP BY fingerprint
+    """
+
+
 def q_route_counts(spark: SparkSession, sf: str) -> DataFrame:
     """A1 + routing: first-match-wins dispatch over a mixed corpus with
     deterministic junk, aggregated per (source, parser, parse_ok) —
@@ -1360,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_triage": q_ops_triage,
         "table_snapshots": q_table_snapshots,
         "stream_route_counts": q_stream_route_counts,
+        "stream_dedup": q_stream_dedup,
         "grok_sshd": q_grok_sshd,
         "grok_apache": q_grok_apache,
         "walltime_memory": q_walltime_memory,
@@ -1391,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "ops_triage": _oracle_ops_triage(),
         "table_snapshots": _oracle_table_snapshots(),
         "stream_route_counts": _oracle_route_counts(),
+        "stream_dedup": _oracle_stream_dedup(),
         "grok_sshd": _oracle_grok_sshd(),
         "grok_apache": _oracle_grok_apache(),
         "walltime_memory": _oracle_walltime_memory(),

@@ -319,8 +319,6 @@ def streaming_dedup(
     ``streaming_dedup_bounded`` — same operator plus watermark +
     EventTimeTimeout state expiry.
     """
-    import pandas as pd
-
     from hnormalise_spark.ops.dedup import normalized_text
 
     stream = read_token_stream(spark, in_dir, max_files=max_files)
@@ -332,6 +330,19 @@ def streaming_dedup(
     ).select(
         "doc_id", "raw", F.md5(normalized_text(F.col("raw"))).alias("fingerprint")
     )
+    return streaming_dedup_rows(rows, out_dir)
+
+
+def streaming_dedup_rows(rows: DataFrame, out_dir: str) -> StreamingQuery:
+    """Core of ``streaming_dedup``, reusable over ANY streaming frame
+    of ``(doc_id string, raw string, fingerprint string)`` — the
+    registered ``stream_dedup`` driver query feeds it the documents
+    table as a file stream. Emits one row per fingerprint (the
+    string-min ``doc_id`` of the first micro-batch it appears in,
+    which is the GLOBAL min — and ``n_batch_dups`` the global
+    duplicate count — whenever the bounded replay lands in a single
+    micro-batch); suppresses every later occurrence."""
+    import pandas as pd
 
     out_schema = "fingerprint string, doc_id string, raw string, n_batch_dups long"
     state_schema = "n_seen long"

@@ -57,6 +57,9 @@ LEGS = [
     "source_overlap", "ngram_novelty", "domain_reweight", "length_trim",
     "semdedup", "hard_negatives", "rrf_fusion", "cluster_canonical",
     "data_card", "card_diff",
+    # post-final additions: PMI phrase mining + blocklist filtering,
+    # both pure documents-table ops
+    "pmi_phrases", "blocklist",
 ]
 REPLICAS = 10
 
