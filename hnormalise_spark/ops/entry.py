@@ -5162,6 +5162,70 @@ def _oracle_blocklist() -> str:
     """
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-level crawl-over-crawl diff (table.snapshot_doc_diff):
+    version A = raw documents; version B = a deterministic "next
+    crawl" — docs with doc_id%11==5 dropped (removed), docs with
+    doc_id%7==3 get ' v2' appended (changed), and docs with
+    doc_id%13==1 re-added under doc_id+10^7 (added). Aggregated to
+    (status, n_docs, sum_doc_id) so every class is pinned by count
+    AND id-sum."""
+    from hnormalise_spark.table import snapshot_doc_diff
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    b = docs.filter(F.col("doc_id") % 11 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 13 == 1).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        snapshot_doc_diff(docs, b)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+    )
+
+
+def _oracle_snapshot_diff() -> str:
+    return r"""
+    WITH a AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM documents),
+    b_src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 5
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 13 = 1),
+    b AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      FROM b_src),
+    d AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT status, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS sum_doc_id
+    FROM d GROUP BY status
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5269,6 +5333,7 @@ def queries():
         "card_diff": q_card_diff,
         "pmi_phrases": q_pmi_phrases,
         "blocklist": q_blocklist,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5383,4 +5448,5 @@ def oracle_sql():
         "card_diff": _oracle_card_diff(),
         "pmi_phrases": _oracle_pmi_phrases(),
         "blocklist": _oracle_blocklist(),
+        "snapshot_diff": _oracle_snapshot_diff(),
     }
