@@ -5226,6 +5226,50 @@ def _oracle_snapshot_diff() -> str:
     """
 
 
+def q_heaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve over the documents table at
+    power-of-two doc-count checkpoints, with the least-squares
+    exponent in integer micro-units on every row."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    )
+    return T.heaps_growth(docs)
+
+
+def _oracle_heaps() -> str:
+    ladder = ", ".join(str(t) for t in [2 ** k for k in range(4, 21)])
+    return f"""
+    WITH w AS (SELECT doc_id, [x FOR x IN split(text, ' ') IF x <> ''] AS ws
+               FROM documents WHERE text IS NOT NULL),
+    dt AS (SELECT doc_id, len(ws)::BIGINT AS n_tok FROM w),
+    firsts AS (SELECT word, min(doc_id) AS fd
+               FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY 1),
+    mx AS (SELECT max(doc_id) AS m FROM dt),
+    th AS (SELECT t FROM (SELECT unnest([{ladder}]) AS t), mx
+           WHERE t <= 2 * m),
+    curve AS (SELECT t,
+        (SELECT coalesce(sum(n_tok), 0) FROM dt WHERE doc_id < t)::BIGINT
+          AS tokens_cum,
+        (SELECT count(*) FROM firsts WHERE fd < t)::BIGINT AS vocab_cum
+        FROM th),
+    pts AS (SELECT
+        floor(ln(tokens_cum::DOUBLE) * 1000000.0 + 0.5)::HUGEINT AS x,
+        floor(ln(vocab_cum::DOUBLE) * 1000000.0 + 0.5)::HUGEINT AS y
+        FROM curve WHERE tokens_cum > 0 AND vocab_cum > 0),
+    s AS (SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+    SELECT c.t AS n_docs_lt, c.tokens_cum, c.vocab_cum,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             floor((n * sxy - sx * sy)::DOUBLE
+                   / (n * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5)::BIGINT
+           END AS beta_x1e6
+    FROM curve c, s
+    WHERE c.tokens_cum > 0 AND c.vocab_cum > 0
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5334,6 +5378,7 @@ def queries():
         "pmi_phrases": q_pmi_phrases,
         "blocklist": q_blocklist,
         "snapshot_diff": q_snapshot_diff,
+        "heaps_growth": q_heaps,
     }
 
 
@@ -5449,4 +5494,5 @@ def oracle_sql():
         "pmi_phrases": _oracle_pmi_phrases(),
         "blocklist": _oracle_blocklist(),
         "snapshot_diff": _oracle_snapshot_diff(),
+        "heaps_growth": _oracle_heaps(),
     }

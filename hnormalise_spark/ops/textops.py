@@ -1920,3 +1920,125 @@ def blocklist_filter(
             "hit_terms",
         )
     )
+
+
+HEAPS_LADDER = [2 ** k for k in range(4, 21)]  # 16 .. 1,048,576
+
+
+def heaps_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: list[int] | None = None,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve + exponent fit — the corpus
+    health metric beside ``token_zipf_fit``'s Zipf slope: sample the
+    corpus at id thresholds t (docs with id < t, i.e. the first t docs
+    of a densely-id'd corpus), report cumulative token and DISTINCT-
+    word counts at each point, and least-squares-fit
+    ``ln V ≈ ln K + beta·ln T`` over the (tokens_cum, vocab_cum)
+    points. Natural text sits near beta ≈ 0.4-0.6; a templated or
+    collapsed corpus drifts toward 0 (vocab saturates), synthetic id
+    soup toward 1. Returns one row per sample point
+    ``(n_docs_lt, tokens_cum, vocab_cum, beta_x1e6)`` — beta repeated
+    on every row so the curve and the fit travel together.
+
+    Sample points come from a power-of-two ladder kept while
+    ``t <= 2·max_id`` — at most ONE saturated (full-corpus) point, so
+    duplicate tail points cannot flatten the fit. Zero points are
+    dropped (ln 0).
+
+    Cross-engine determinism (the token_zipf discipline): ln values
+    round to integer micro-units FIRST, moment sums are exact
+    decimals, only the final slope ratio passes through double.
+
+    Scale shape: corpus-sized work is ONE explode feeding the
+    word→min(id) first-occurrence aggregate (map-side combinable,
+    vocab-bounded output) plus a map-side per-doc token count whose
+    aggregate is ladder-bounded (each doc folds into its bracket —
+    the smallest ladder point above its id — via a literal-array
+    expression, so NO per-threshold rescan). Everything after runs on
+    ≤ len(ladder) rows: the bracket→threshold fan-out is a broadcast
+    inequality join of two ~20-row tables and the fit is one
+    aggregate over them.
+    """
+    ths = sorted(set(int(t) for t in (thresholds or HEAPS_LADDER)))
+    ladder = F.array(*[F.lit(t) for t in ths])
+
+    def bracket(idc: Column) -> Column:
+        # smallest ladder point strictly above the id (null if beyond)
+        return F.array_min(F.filter(ladder, lambda t: t > idc))
+
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), ws.alias("_ws")
+    )
+
+    tok_b = (
+        base.select(bracket(F.col("_id")).alias("_b"), F.size("_ws").alias("_n"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy("_b")
+        .agg(F.sum("_n").cast("long").alias("_tok"))
+    )
+    voc_b = (
+        base.select(F.col("_id"), F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("_id").alias("_fd"))
+        .select(bracket(F.col("_fd")).alias("_b"))
+        .filter(F.col("_b").isNotNull())
+        .groupBy("_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_voc"))
+    )
+
+    mx = base.agg(F.max("_id").alias("_mx"))
+    spark = df.sparkSession
+    th = (
+        spark.createDataFrame([(t,) for t in ths], "t long")
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("t") <= 2 * F.col("_mx"))
+        .select("t")
+    )
+    curve = (
+        th.join(F.broadcast(tok_b), tok_b["_b"] <= F.col("t"), "left")
+        .groupBy("t")
+        .agg(F.coalesce(F.sum("_tok"), F.lit(0)).alias("tokens_cum"))
+        .join(
+            th.join(F.broadcast(voc_b), voc_b["_b"] <= F.col("t"), "left")
+            .groupBy("t")
+            .agg(F.coalesce(F.sum("_voc"), F.lit(0)).alias("vocab_cum")),
+            "t",
+        )
+        .filter((F.col("tokens_cum") > 0) & (F.col("vocab_cum") > 0))
+    )
+
+    m = curve.select(
+        F.floor(F.log(F.col("tokens_cum").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("_x"),
+        F.floor(F.log(F.col("vocab_cum").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("_y"),
+    )
+    s = m.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    fit = s.select(
+        F.when(
+            den > 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5)
+            ).cast("long"),
+        ).alias("beta_x1e6")
+    )
+    return curve.crossJoin(F.broadcast(fit)).select(
+        F.col("t").cast("long").alias("n_docs_lt"),
+        F.col("tokens_cum").cast("long").alias("tokens_cum"),
+        F.col("vocab_cum").cast("long").alias("vocab_cum"),
+        "beta_x1e6",
+    )

@@ -59,7 +59,7 @@ LEGS = [
     "data_card", "card_diff",
     # post-final additions: PMI phrase mining + blocklist filtering,
     # both pure documents-table ops
-    "pmi_phrases", "blocklist", "snapshot_diff",
+    "pmi_phrases", "blocklist", "snapshot_diff", "heaps_growth",
 ]
 REPLICAS = 10
 
