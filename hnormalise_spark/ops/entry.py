@@ -52,7 +52,10 @@ def q_text_analyze(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _oracle_text_analyze() -> str:
+def _lang_pred_sql() -> tuple[str, str]:
+    """(hit_cols, lang_cases) SQL fragments replaying textops.lang_id
+    in DuckDB — shared by the text_analyze and lang_confusion
+    oracles."""
     from hnormalise_spark.ops.textops import LANG_MARKERS
 
     hits = {
@@ -69,6 +72,11 @@ def _oracle_text_analyze() -> str:
         for lang in langs
     )
     hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return hit_cols, lang_cases
+
+
+def _oracle_text_analyze() -> str:
+    hit_cols, lang_cases = _lang_pred_sql()
     return f"""
     WITH base AS (
       SELECT doc_id, text,
@@ -5270,6 +5278,36 @@ def _oracle_heaps() -> str:
     """
 
 
+def q_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix over the
+    documents table, with integer-ppm per-declared-language shares."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("lang", "text")
+    )
+    return T.lang_confusion(docs)
+
+
+def _oracle_lang_confusion() -> str:
+    hit_cols, lang_cases = _lang_pred_sql()
+    return f"""
+    WITH base AS (
+      SELECT coalesce(lang, 'und') AS lang_declared, {hit_cols}
+      FROM documents),
+    p AS (SELECT lang_declared,
+                 CASE {lang_cases} ELSE 'und' END AS lang_pred
+          FROM base),
+    c AS (SELECT lang_declared, lang_pred, count(*)::BIGINT AS n_docs
+          FROM p GROUP BY 1, 2)
+    SELECT lang_declared, lang_pred, n_docs,
+           floor(n_docs::DOUBLE
+                 / (sum(n_docs) OVER (PARTITION BY lang_declared))::DOUBLE
+                 * 1000000.0 + 0.5)::BIGINT AS share_ppm
+    FROM c
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5379,6 +5417,7 @@ def queries():
         "blocklist": q_blocklist,
         "snapshot_diff": q_snapshot_diff,
         "heaps_growth": q_heaps,
+        "lang_confusion": q_lang_confusion,
     }
 
 
@@ -5495,4 +5534,5 @@ def oracle_sql():
         "blocklist": _oracle_blocklist(),
         "snapshot_diff": _oracle_snapshot_diff(),
         "heaps_growth": _oracle_heaps(),
+        "lang_confusion": _oracle_lang_confusion(),
     }

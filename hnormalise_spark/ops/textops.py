@@ -2042,3 +2042,46 @@ def heaps_growth(
         F.col("vocab_cum").cast("long").alias("vocab_cum"),
         "beta_x1e6",
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confusion matrix: declared language label vs the
+    stopword-marker detector (``lang_id``), one row per
+    (declared, predicted) cell with the doc count and the cell's
+    integer-ppm share of its declared language — the standard QA
+    artifact for a multilingual corpus's metadata (a strong diagonal
+    means labels and content agree; a hot und column means the
+    detector lacks evidence; off-diagonal mass means mislabeled or
+    code-mixed docs feeding the wrong per-language pipelines).
+
+    Scale shape: the detector is a per-row JVM regexp expression, so
+    the only corpus-sized work is the scan; the aggregate is map-side
+    combinable onto ≤ |langs|² cells and the share window runs on
+    that cell-bounded table, not the corpus.
+    """
+    cells = (
+        df.select(
+            F.coalesce(F.col(lang_col), F.lit("und")).alias("lang_declared"),
+            lang_id(F.col(text_col)).alias("lang_pred"),
+        )
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_docs").over(Window.partitionBy("lang_declared"))
+    return cells.select(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        F.floor(
+            F.col("n_docs").cast("double") / tot.cast("double") * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("share_ppm"),
+    )
