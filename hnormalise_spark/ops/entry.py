@@ -5308,6 +5308,48 @@ def _oracle_lang_confusion() -> str:
     """
 
 
+def q_span_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """T5 span-corruption length planning over codepoint token
+    sequences (density 0.15, mean span 3.0): per-doc masked-token
+    budget, span count, and encoder/decoder example lengths."""
+    from hnormalise_spark.ops import tokenops as TK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return TK.span_corruption_plan(toked, density=0.15, mean_span=3.0)
+
+
+def _oracle_span_plan() -> str:
+    return """
+    WITH t AS (SELECT doc_id,
+                      CASE WHEN text IS NULL THEN 0
+                           ELSE length(text) END::BIGINT AS n
+               FROM documents),
+    m AS (SELECT doc_id, n,
+                 CASE WHEN n >= 2 THEN
+                   least(greatest(floor(n::DOUBLE * 0.15 + 0.5)::BIGINT, 1),
+                         n - 1)
+                 ELSE 0 END AS n_masked
+          FROM t),
+    s AS (SELECT doc_id, n, n_masked,
+                 CASE WHEN n_masked > 0 THEN
+                   least(greatest(
+                     floor(n_masked::DOUBLE / 3.0 + 0.5)::BIGINT, 1),
+                     n_masked)
+                 ELSE 0 END AS n_spans
+          FROM m)
+    SELECT doc_id, n AS n_tok, n_masked, n_spans,
+           (n - n_masked + n_spans)::BIGINT AS enc_len,
+           CASE WHEN n_masked > 0 THEN n_masked + n_spans + 1
+                ELSE 0 END::BIGINT AS dec_len
+    FROM s
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5418,6 +5460,7 @@ def queries():
         "snapshot_diff": q_snapshot_diff,
         "heaps_growth": q_heaps,
         "lang_confusion": q_lang_confusion,
+        "span_plan": q_span_plan,
     }
 
 
@@ -5535,4 +5578,5 @@ def oracle_sql():
         "snapshot_diff": _oracle_snapshot_diff(),
         "heaps_growth": _oracle_heaps(),
         "lang_confusion": _oracle_lang_confusion(),
+        "span_plan": _oracle_span_plan(),
     }

@@ -991,3 +991,75 @@ def token_entropy(
             ent.alias("entropy_x1e6"),
         )
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    density: float = 0.15,
+    mean_span: float = 3.0,
+) -> DataFrame:
+    """T5-style span-corruption LENGTH planning (Raffel et al. 2020
+    §3.1.4, the random_spans_noise_mask length arithmetic): for each
+    sequence of n tokens compute the masked-token budget
+    ``clamp(floor(n·density + 0.5), 1, n-1)``, the span count
+    ``clamp(floor(n_masked/mean_span + 0.5), 1, n_masked)``, and the
+    resulting encoder/decoder example lengths
+    ``enc = n - n_masked + n_spans`` (each span collapses to one
+    sentinel) and ``dec = n_masked + n_spans + 1`` (sentinels + EOS).
+    These are the numbers a denoising pipeline precomputes to pack
+    batches BEFORE materializing any mask — position sampling stays
+    in the trainer; length planning belongs in the data pipeline.
+
+    Totality: sequences with n < 2 (too short to hold noise and
+    non-noise) plan to zero spans and enc_len = n, dec_len = 0; null
+    token arrays count as n = 0. Every row survives so budget
+    accounting stays exact.
+
+    Cross-engine determinism: the only non-integer steps are the two
+    IEEE-double products n·density and n_masked/mean_span, evaluated
+    identically in any engine, then half-up floored — no summation
+    order anywhere.
+
+    Scale shape: a pure per-row projection — ZERO shuffles, fuses
+    into the scan, and with column pruning reads only (id, tokens);
+    downstream length-bucketed batch assembly (``length_buckets``)
+    can consume enc_len/dec_len directly.
+    """
+    n = F.coalesce(F.size(tokens_col), F.lit(0)).cast("long")
+    n_masked = F.when(
+        n >= 2,
+        F.least(
+            F.greatest(
+                F.floor(n.cast("double") * F.lit(float(density)) + F.lit(0.5))
+                .cast("long"),
+                F.lit(1),
+            ),
+            n - 1,
+        ),
+    ).otherwise(F.lit(0))
+    n_spans = F.when(
+        n_masked > 0,
+        F.least(
+            F.greatest(
+                F.floor(
+                    n_masked.cast("double") / F.lit(float(mean_span))
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(1),
+            ),
+            n_masked,
+        ),
+    ).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tok"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_spans"),
+        (n - n_masked + n_spans).cast("long").alias("enc_len"),
+        F.when(n_masked > 0, n_masked + n_spans + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dec_len"),
+    )
