@@ -5350,6 +5350,34 @@ def _oracle_span_plan() -> str:
     """
 
 
+def q_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact media dedup by binary content hash over the synthetic
+    media table with planted duplicates (payload keyed on id % 37, so
+    each distinct payload spans ~3 ids and multiple modality
+    labels)."""
+    from hnormalise_spark.ops import multimodal as M
+
+    media = M.synth_media(spark, N_MEDIA, dup_mod=37)
+    return M.media_dedup(media)
+
+
+def _oracle_media_dedup() -> str:
+    return f"""
+    WITH m AS (SELECT range AS id FROM range({N_MEDIA})),
+    p AS (SELECT printf('m-%06d', id) AS media_id,
+                 CASE WHEN id % 3 = 0 THEN 'image'
+                      WHEN id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                 upper(md5((id % 37)::VARCHAR)) AS payload_hex
+          FROM m)
+    SELECT md5(payload_hex) AS fingerprint,
+           min(media_id) AS keeper_id,
+           count(*)::BIGINT AS n_copies,
+           16::BIGINT AS n_bytes,
+           string_agg(DISTINCT kind, ',' ORDER BY kind) AS kinds
+    FROM p GROUP BY fingerprint
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5461,6 +5489,7 @@ def queries():
         "heaps_growth": q_heaps,
         "lang_confusion": q_lang_confusion,
         "span_plan": q_span_plan,
+        "media_dedup": q_media_dedup,
     }
 
 
@@ -5579,4 +5608,5 @@ def oracle_sql():
         "heaps_growth": _oracle_heaps(),
         "lang_confusion": _oracle_lang_confusion(),
         "span_plan": _oracle_span_plan(),
+        "media_dedup": _oracle_media_dedup(),
     }

@@ -79,12 +79,16 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def synth_media(spark, n_rows: int = 100) -> DataFrame:
-    """Deterministic fake media table (payload = repeated md5 bytes)."""
+def synth_media(spark, n_rows: int = 100, dup_mod: int | None = None) -> DataFrame:
+    """Deterministic fake media table (payload = repeated md5 bytes).
+    With ``dup_mod`` the payload derives from ``id % dup_mod`` so each
+    distinct payload appears ~n_rows/dup_mod times — the planted-dup
+    corpus the media_dedup leg runs on."""
+    key = F.col("id") if dup_mod is None else F.col("id") % int(dup_mod)
     df = spark.range(n_rows).select(
         F.format_string("m-%06d", F.col("id")).alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image").when(F.col("id") % 3 == 1, "audio").otherwise("video").alias("kind"),
-        F.to_binary(F.md5(F.col("id").cast("string")), F.lit("hex")).alias("payload"),
+        F.to_binary(F.md5(key.cast("string")), F.lit("hex")).alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
         F.when(F.col("id") % 3 == 0, (F.col("id") % 640 + 1).cast("int")).alias("width"),
         F.when(F.col("id") % 3 == 0, (F.col("id") % 480 + 1).cast("int")).alias("height"),
@@ -184,3 +188,47 @@ def frame_sample(df: DataFrame, every_ms: int, slice_bytes: int = 4) -> DataFram
             )
 
     return df.filter(F.col("duration_ms").isNotNull()).mapInPandas(fs, FRAME_SCHEMA)
+
+
+def media_dedup(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Exact media dedup by binary content hash — the media-pipeline
+    analogue of ``dedup.exact_dedup``: group rows by a fingerprint of
+    the RAW BYTES (no decode needed, so it runs before any codec) and
+    report one row per distinct payload with the keeper (min id), the
+    copy count, the byte size, and the sorted distinct modality labels
+    the content appears under — the "same bytes filed as image AND
+    video" signal a crawl dedup wants surfaced.
+
+    The fingerprint is ``md5(hex(payload))`` rather than md5 of the
+    raw bytes: identical discriminating power, and the hex hop keeps
+    it replayable by engines whose md5 is VARCHAR-only (the DuckDB
+    oracle). NULL payloads group together under a NULL fingerprint.
+
+    Scale shape: identical to exact_dedup — ONE hash-aggregate
+    shuffle keyed on the 32-hex fingerprint (fixed width, immune to
+    payload-size skew; the projection to (fp, id, kind, n_bytes)
+    happens map-side so payload bytes never cross the wire).
+    """
+    fp = F.md5(F.hex(F.col(payload_col)))
+    return (
+        df.select(
+            fp.alias("fingerprint"),
+            F.col(id_col).alias("_id"),
+            F.col(kind_col).alias("_kind"),
+            F.length(F.col(payload_col)).cast("long").alias("_nb"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("_nb").alias("n_bytes"),
+            F.concat_ws(",", F.array_sort(F.collect_set("_kind"))).alias(
+                "kinds"
+            ),
+        )
+    )
