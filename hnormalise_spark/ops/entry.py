@@ -5378,6 +5378,35 @@ def _oracle_media_dedup() -> str:
     """
 
 
+def q_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinct-2 diversity: total vs distinct word
+    bigrams and their integer-ppm ratio."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("source", "text")
+    )
+    return T.distinct_ngrams(docs, n=2)
+
+
+def _oracle_distinct_ngrams() -> str:
+    return """
+    WITH w AS (SELECT source, [x FOR x IN split(text, ' ') IF x <> ''] AS ws
+               FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT source, ws[i] || ' ' || ws[i + 1] AS gram
+          FROM (SELECT source, ws, unnest(range(1, len(ws))) AS i
+                FROM w WHERE len(ws) >= 2)),
+    c AS (SELECT source, gram, count(*)::BIGINT AS c
+          FROM g GROUP BY 1, 2)
+    SELECT source,
+           sum(c)::BIGINT AS n_grams_total,
+           count(*)::BIGINT AS n_grams_distinct,
+           floor(count(*)::DOUBLE / sum(c)::DOUBLE * 1000000.0 + 0.5)::BIGINT
+             AS distinct_ppm
+    FROM c GROUP BY source
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5490,6 +5519,7 @@ def queries():
         "lang_confusion": q_lang_confusion,
         "span_plan": q_span_plan,
         "media_dedup": q_media_dedup,
+        "distinct_ngrams": q_distinct_ngrams,
     }
 
 
@@ -5609,4 +5639,5 @@ def oracle_sql():
         "lang_confusion": _oracle_lang_confusion(),
         "span_plan": _oracle_span_plan(),
         "media_dedup": _oracle_media_dedup(),
+        "distinct_ngrams": _oracle_distinct_ngrams(),
     }

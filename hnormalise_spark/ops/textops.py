@@ -2085,3 +2085,69 @@ def lang_confusion(
         .cast("long")
         .alias("share_ppm"),
     )
+
+
+def distinct_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity per group (Li et al. 2016's distinct-1/2
+    applied corpus-side): for each group, the total number of word
+    n-grams, the number of DISTINCT n-grams, and their ratio in
+    integer ppm — low distinct-n flags templated/repetitive sources
+    that repetition filters score doc-by-doc but never aggregate.
+    Complements ``ngram_novelty`` (per-doc novelty vs other docs) and
+    ``source_ngram_containment`` (cross-source sharing): this is
+    WITHIN-group diversity.
+
+    Scale shape: one explode feeding a two-level aggregate — map-side
+    partial combine onto (group, gram) counts (the only corpus-sized
+    shuffle, keyed by group+gram so no single-group hot partition),
+    then a group-bounded re-aggregate. The ppm ratio divides two
+    exact longs once, half-up floored — engine-portable.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), ws.alias("_ws"))
+        .filter(F.size("_ws") >= n)
+        .select(
+            "_g",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_ws") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.element_at("_ws", i + k) for k in range(n)],
+                    ),
+                )
+            ).alias("_gram"),
+        )
+    )
+    per_gram = grams.groupBy("_g", "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_gram.groupBy("_g")
+        .agg(
+            F.sum("_c").cast("long").alias("n_grams_total"),
+            F.count(F.lit(1)).cast("long").alias("n_grams_distinct"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_grams_total",
+            "n_grams_distinct",
+            F.floor(
+                F.col("n_grams_distinct").cast("double")
+                / F.col("n_grams_total").cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("distinct_ppm"),
+        )
+    )
