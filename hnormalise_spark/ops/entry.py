@@ -5407,6 +5407,65 @@ def _oracle_distinct_ngrams() -> str:
     """
 
 
+def q_budget_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """fairseq-style max-tokens batching (length_bucket_batches in
+    token-budget mode): buckets of 32, budget 512 padded tokens per
+    batch, 4 hash shards — short docs form large batches, long docs
+    small ones, every batch's padded cost bounded by the budget."""
+    from hnormalise_spark.ops import packing as PK
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    toked = docs.select("doc_id", _codepoint_tokens().alias("tokens"))
+    return PK.length_bucket_batches(
+        toked, bucket_width=32, shards=4, max_tokens=512
+    ).select(
+        "doc_id",
+        "n_tok",
+        "bucket",
+        "shard",
+        "batch_idx",
+        F.col("batch_n").cast("long").alias("batch_n"),
+        F.col("batch_cost").cast("long").alias("batch_cost"),
+        F.col("batch_max_len").cast("long").alias("batch_max_len"),
+        F.col("pad_ppm").cast("long").alias("pad_ppm"),
+    )
+
+
+def _oracle_budget_batches() -> str:
+    span = float(1 << 60)
+    return f"""
+    WITH tok AS (SELECT doc_id,
+            CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+                 ELSE length(text) END AS n_tok
+          FROM documents),
+    base AS (SELECT doc_id::BIGINT AS doc_id, n_tok::BIGINT AS n_tok,
+               ((n_tok - 1) // 32)::INT AS bucket,
+               floor(('0x' || substr(md5(doc_id::VARCHAR || '|lbb'), 1, 15))::BIGINT
+                     / {span!r} * 4)::INT AS shard
+             FROM tok WHERE n_tok > 0),
+    capd AS (SELECT *,
+               greatest(1, 512 // ((bucket + 1) * 32))::BIGINT AS cap
+             FROM base),
+    ranked AS (SELECT *,
+               ((row_number() OVER (PARTITION BY bucket, shard
+                                    ORDER BY doc_id ASC) - 1) // cap)::BIGINT
+                 AS batch_idx
+             FROM capd)
+    SELECT doc_id, n_tok, bucket, shard, batch_idx,
+           (count(*) OVER w)::BIGINT AS batch_n,
+           (count(*) OVER w * max(n_tok) OVER w)::BIGINT AS batch_cost,
+           (max(n_tok) OVER w)::BIGINT AS batch_max_len,
+           floor((max(n_tok) OVER w - n_tok) * 1000000
+                 / max(n_tok) OVER w + 0.5)::BIGINT AS pad_ppm
+    FROM ranked
+    WINDOW w AS (PARTITION BY bucket, shard, batch_idx)
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5520,6 +5579,7 @@ def queries():
         "span_plan": q_span_plan,
         "media_dedup": q_media_dedup,
         "distinct_ngrams": q_distinct_ngrams,
+        "budget_batches": q_budget_batches,
     }
 
 
@@ -5640,4 +5700,5 @@ def oracle_sql():
         "span_plan": _oracle_span_plan(),
         "media_dedup": _oracle_media_dedup(),
         "distinct_ngrams": _oracle_distinct_ngrams(),
+        "budget_batches": _oracle_budget_batches(),
     }

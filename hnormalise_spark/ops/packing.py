@@ -77,6 +77,7 @@ def length_bucket_batches(
     shards: int = 8,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Length-bucketed batch assembly with a per-row padding-waste
     report — the PADDED-batch counterpart of pack_sequences (packing
@@ -102,6 +103,19 @@ def length_bucket_batches(
     length-homogeneous. batch_max_len is a second window over the
     SAME partitioning (no extra Exchange). Order inside a shard is
     ascending id — engine-portable, re-run-stable.
+
+    ``max_tokens`` switches to fairseq-style TOKEN-BUDGET batching:
+    ``batch_size`` is ignored and each bucket's batch capacity is
+    ``max(1, max_tokens // bucket_ceiling)`` (ceiling =
+    (bucket+1)·bucket_width) — short sequences form large batches,
+    long ones small, and every batch's padded cost
+    ``batch_n · batch_max_len ≤ max_tokens`` by construction (except
+    single-sequence batches of over-budget sequences, which a budget
+    batcher must still emit). This is the distributable form of the
+    sequential max-tokens greedy: capacity is a pure function of the
+    bucket, so no batch depends on any other batch's contents.
+    ``batch_n`` and ``batch_cost`` are reported per row in both
+    modes (same window, no extra Exchange).
     """
     n_tok = F.size(F.filter(F.col(tokens_col), lambda t: t.isNotNull())).cast("long")
     shard = F.floor(key_hash_unit(F.col(id_col), "lbb") * shards).cast("int")
@@ -111,14 +125,28 @@ def length_bucket_batches(
         .withColumn("bucket", F.floor((F.col("n_tok") - 1) / bucket_width).cast("int"))
         .withColumn("shard", shard)
     )
+    if max_tokens is None:
+        cap = F.lit(int(batch_size)).cast("long")
+    else:
+        cap = F.greatest(
+            F.lit(1),
+            F.floor(
+                F.lit(int(max_tokens))
+                / ((F.col("bucket") + 1) * F.lit(int(bucket_width)))
+            ),
+        ).cast("long")
     rank_w = Window.partitionBy("bucket", "shard").orderBy(F.col(id_col).asc())
     ranked = base.withColumn(
         "batch_idx",
-        F.floor((F.row_number().over(rank_w) - 1) / batch_size).cast("long"),
+        F.floor((F.row_number().over(rank_w) - 1) / cap).cast("long"),
     )
     batch_w = Window.partitionBy("bucket", "shard", "batch_idx")
     return (
         ranked.withColumn("batch_max_len", F.max("n_tok").over(batch_w))
+        .withColumn("batch_n", F.count(F.lit(1)).over(batch_w).cast("long"))
+        .withColumn(
+            "batch_cost", (F.col("batch_n") * F.col("batch_max_len")).cast("long")
+        )
         .withColumn(
             "pad_ppm",
             F.floor(

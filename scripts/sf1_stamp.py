@@ -60,7 +60,7 @@ LEGS = [
     # post-final additions: PMI phrase mining + blocklist filtering,
     # both pure documents-table ops
     "pmi_phrases", "blocklist", "snapshot_diff", "heaps_growth",
-    "lang_confusion", "span_plan", "distinct_ngrams",
+    "lang_confusion", "span_plan", "distinct_ngrams", "budget_batches",
 ]
 REPLICAS = 10
 
