@@ -5466,6 +5466,107 @@ def _oracle_budget_batches() -> str:
     """
 
 
+# 'dup' is a rare corpus word (~5% of docs), 'junk' absent — a
+# realistic gate; 'slow' (in ~80% of docs) would nuke the release
+RELEASE_TERMS = ["dup", "junk"]
+RELEASE_CAP = 400
+
+
+def q_release_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed flagship #7 — corpus release gate: blocklist drop
+    (zero-shuffle ``blocklist_hits`` predicate) → exact-dedup keepers
+    (min-id per normalized-text fingerprint) → length-cap truncation
+    at {cap} chars → doc-level ``snapshot_doc_diff`` of the release
+    against the raw corpus, aggregated per status with doc counts,
+    id-sums, and char accounting. One hash-green row set proves the
+    whole drop/keep/truncate classification end to end: removed =
+    blocklisted ∪ dup non-keepers, changed = truncated longs,
+    unchanged = everything else.
+
+    Scale shape: the gate is a per-row expression on the scan; the
+    keeper aggregate is exact_dedup's fixed-width-fingerprint
+    shuffle; the diff reduces both sides to (id, fp) before its one
+    full-outer join; the char join rides the same id key and the
+    final aggregate is 3 rows."""
+    from hnormalise_spark.ops import dedup as D
+    from hnormalise_spark.ops import textops as T
+    from hnormalise_spark.table import snapshot_doc_diff
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text", "n_chars"
+        )
+    )
+    kept = docs.filter(F.size(T.blocklist_hits(RELEASE_TERMS)) == 0)
+    keepers = kept.groupBy(
+        F.md5(D.normalized_text(F.col("text"))).alias("_fp")
+    ).agg(F.min("doc_id").alias("doc_id"))
+    curated = kept.join(keepers.select("doc_id"), "doc_id").select(
+        "doc_id",
+        F.when(
+            F.length("text") > RELEASE_CAP,
+            F.substring("text", 1, RELEASE_CAP),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = snapshot_doc_diff(docs.select("doc_id", "text"), curated)
+    return (
+        diff.join(docs.select("doc_id", "n_chars"), "doc_id", "left")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.sum(F.coalesce("n_chars", F.lit(0)))
+            .cast("long")
+            .alias("sum_n_chars"),
+        )
+    )
+
+
+q_release_pipeline.__doc__ = q_release_pipeline.__doc__.format(cap=RELEASE_CAP)
+
+
+def _oracle_release_pipeline() -> str:
+    terms = ", ".join(f"'{t}'" for t in RELEASE_TERMS)
+    return rf"""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE len([x FOR x IN split(coalesce(text, ''), ' ')
+                 IF x <> '' AND x IN ({terms})]) = 0),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                     AS fp
+            FROM kept)
+      GROUP BY fp),
+    curated AS (
+      SELECT k.doc_id,
+             CASE WHEN length(k.text) > {RELEASE_CAP}
+                  THEN substr(k.text, 1, {RELEASE_CAP})
+                  ELSE k.text END AS text
+      FROM kept k JOIN keepers USING (doc_id)),
+    a AS (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM documents),
+    b AS (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+          FROM curated),
+    d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN a.fp IS NOT DISTINCT FROM b.fp THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT status, count(*)::BIGINT AS n_docs,
+           sum(d.doc_id)::BIGINT AS sum_doc_id,
+           sum(coalesce(doc.n_chars, 0))::BIGINT AS sum_n_chars
+    FROM d LEFT JOIN documents doc ON doc.doc_id = d.doc_id
+    GROUP BY status
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5580,6 +5681,7 @@ def queries():
         "media_dedup": q_media_dedup,
         "distinct_ngrams": q_distinct_ngrams,
         "budget_batches": q_budget_batches,
+        "release_pipeline": q_release_pipeline,
     }
 
 
@@ -5701,4 +5803,5 @@ def oracle_sql():
         "media_dedup": _oracle_media_dedup(),
         "distinct_ngrams": _oracle_distinct_ngrams(),
         "budget_batches": _oracle_budget_batches(),
+        "release_pipeline": _oracle_release_pipeline(),
     }

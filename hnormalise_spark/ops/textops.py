@@ -1843,6 +1843,22 @@ def pmi_collocations(
     )
 
 
+def blocklist_hits(terms: list[str], text_col: str = "text") -> Column:
+    """Array of blocklist-term occurrences in ``text_col`` (exact
+    whitespace words, null/empty text → empty array) — the reusable
+    per-row expression behind ``blocklist_filter``'s small-list path,
+    exposed so composed pipelines can GATE on it without the op's
+    report columns (``F.size(blocklist_hits(...)) == 0`` is a
+    zero-shuffle keep predicate)."""
+    uniq = sorted(set(terms))
+    lit_terms = F.array(*[F.lit(t) for t in uniq])
+    ws = F.coalesce(
+        F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit("")),
+        F.array().cast("array<string>"),
+    )
+    return F.filter(ws, lambda w: F.array_contains(lit_terms, w))
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: list[str],
@@ -1884,8 +1900,7 @@ def blocklist_filter(
     )
 
     if len(uniq) <= int(join_threshold):
-        lit_terms = F.array(*[F.lit(t) for t in uniq])
-        hits_arr = F.filter(ws, lambda w: F.array_contains(lit_terms, w))
+        hits_arr = blocklist_hits(uniq, text_col=text_col)
         n_hits = F.size(hits_arr).cast("long")
         hit_terms = F.when(
             n_hits > 0,
