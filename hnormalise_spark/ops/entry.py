@@ -5567,6 +5567,37 @@ def _oracle_release_pipeline() -> str:
     """
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew diagnosis over the events table keyed by event_type at
+    32-way target parallelism: hot-key shares + salt-bucket
+    recommendation feeding the salted aggregate's dial."""
+    from hnormalise_spark.ops.skew import skew_report
+
+    ev = spread_to_cores(
+        spark.read.parquet(f"{sf}/events.parquet").select("event_type")
+    )
+    return skew_report(ev, "event_type", top_k=10, tasks=32)
+
+
+def _oracle_skew_report() -> str:
+    return """
+    WITH c AS (SELECT event_type::VARCHAR AS key, count(*)::BIGINT AS n_rows
+               FROM events GROUP BY 1),
+    t AS (SELECT sum(n_rows)::BIGINT AS total, count(*)::BIGINT AS n_keys
+          FROM c),
+    top AS (SELECT key, n_rows FROM c
+            ORDER BY n_rows DESC, key ASC NULLS LAST LIMIT 10)
+    SELECT row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS LAST)::BIGINT
+             AS rank,
+           key, n_rows,
+           floor(n_rows::DOUBLE / total::DOUBLE * 1000000.0 + 0.5)::BIGINT
+             AS share_ppm,
+           ((n_rows * 32 + total - 1) // total)::BIGINT AS salt_buckets,
+           n_keys AS n_keys_total
+    FROM top, t
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5682,6 +5713,7 @@ def queries():
         "distinct_ngrams": q_distinct_ngrams,
         "budget_batches": q_budget_batches,
         "release_pipeline": q_release_pipeline,
+        "skew_report": q_skew_report,
     }
 
 
@@ -5804,4 +5836,5 @@ def oracle_sql():
         "distinct_ngrams": _oracle_distinct_ngrams(),
         "budget_batches": _oracle_budget_batches(),
         "release_pipeline": _oracle_release_pipeline(),
+        "skew_report": _oracle_skew_report(),
     }
