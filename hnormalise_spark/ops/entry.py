@@ -5598,6 +5598,44 @@ def _oracle_skew_report() -> str:
     """
 
 
+def q_domain_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-domain NLL matrix: every source's text scored under every
+    source's add-one unigram LM (global-vocab smoothing)."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select("source", "text")
+    )
+    return T.cross_domain_nll(docs)
+
+
+def _oracle_domain_matrix() -> str:
+    return """
+    WITH w AS (SELECT source AS g,
+                      unnest([x FOR x IN split(text, ' ') IF x <> '']) AS word
+               FROM documents
+               WHERE text IS NOT NULL AND trim(text) <> ''),
+    c AS (SELECT g, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+    v AS (SELECT count(DISTINCT word)::BIGINT AS V FROM c),
+    t AS (SELECT g, sum(c)::BIGINT AS T FROM c GROUP BY 1),
+    grid AS (SELECT a.g AS ga, tb.g AS gb, a.word, a.c AS ca,
+                    coalesce(mb.c, 0)::BIGINT AS cb, tb.T, v.V
+             FROM c a
+             CROSS JOIN t tb
+             LEFT JOIN c mb ON mb.g = tb.g AND mb.word = a.word
+             CROSS JOIN v),
+    scored AS (SELECT ga, gb, ca,
+                 ca::HUGEINT * floor(-ln((cb + 1.0) / (T + V))
+                                     * 1000000.0 + 0.5)::HUGEINT AS prod
+               FROM grid)
+    SELECT ga AS source_scored, gb AS source_model,
+           sum(ca)::BIGINT AS n_tok,
+           floor(sum(prod)::DOUBLE / sum(ca)::DOUBLE)::BIGINT
+             AS mean_nll_x1e6
+    FROM scored GROUP BY 1, 2
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5714,6 +5752,7 @@ def queries():
         "budget_batches": q_budget_batches,
         "release_pipeline": q_release_pipeline,
         "skew_report": q_skew_report,
+        "domain_matrix": q_domain_matrix,
     }
 
 
@@ -5837,4 +5876,5 @@ def oracle_sql():
         "budget_batches": _oracle_budget_batches(),
         "release_pipeline": _oracle_release_pipeline(),
         "skew_report": _oracle_skew_report(),
+        "domain_matrix": _oracle_domain_matrix(),
     }

@@ -2166,3 +2166,90 @@ def distinct_ngrams(
             .alias("distinct_ppm"),
         )
     )
+
+
+def cross_domain_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-domain NLL matrix — the domain-similarity table behind
+    transfer-aware data selection (Ruder & Plank 2017-style model
+    selection; the pairwise generalization of ``domain_reweight``'s
+    shared-LM excess): score each source's text under EVERY source's
+    add-one-smoothed unigram LM and report the mean NLL per
+    (scored, model) pair. Smoothing uses the GLOBAL vocabulary size so
+    out-of-domain words are defined under every model:
+    p_B(w) = (c_B(w)+1) / (T_B + V_global). The diagonal is each
+    domain's self-perplexity; a row's off-diagonal minima are its
+    nearest domains — the transfer candidates.
+
+    Cross-engine determinism (the lm_unigram_score discipline): each
+    (model, word) NLL rounds to integer micro-nats FIRST; the
+    per-pair sums are exact integer ``count × nll`` products; only
+    the final mean division passes through double.
+
+    Scale shape: ONE corpus-sized shuffle — the explode into
+    map-side-combined (source, word) counts, output bounded by
+    |sources|·|vocab|. The scoring grid (a-counts × sources,
+    left-joined against b-models) and every total live on that
+    model-sized table; the corpus is never touched again, so an S×S
+    matrix costs the same scan as one LM fit.
+
+    Returns (source_scored, source_model, n_tok, mean_nll_x1e6).
+    """
+    toks = _words(text_col)
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(group_col).alias("_g"), toks.alias("_toks"))
+
+    counts = (
+        base.select("_g", F.explode("_toks").alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vglob = counts.select("_w").distinct().agg(
+        F.count(F.lit(1)).alias("_V")
+    )
+    totals = counts.groupBy("_g").agg(F.sum("_c").alias("_T"))
+
+    model = counts.select(
+        F.col("_g").alias("_b"), "_w", F.col("_c").alias("_cb")
+    )
+    grid = (
+        counts.select(F.col("_g").alias("_a"), "_w", F.col("_c").alias("_ca"))
+        .crossJoin(
+            F.broadcast(totals.select(F.col("_g").alias("_b"), "_T"))
+        )
+        .join(F.broadcast(model), ["_b", "_w"], "left")
+        .crossJoin(F.broadcast(vglob))
+    )
+    nll = F.floor(
+        -F.log(
+            (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(1.0))
+            / (F.col("_T") + F.col("_V"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    return (
+        grid.select(
+            "_a",
+            "_b",
+            (F.col("_ca").cast("decimal(38,0)") * nll).alias("_prod"),
+            F.col("_ca").alias("_ca"),
+        )
+        .groupBy("_a", "_b")
+        .agg(
+            F.sum("_ca").cast("long").alias("n_tok"),
+            F.sum("_prod").alias("_sum"),
+        )
+        .select(
+            F.col("_a").alias("source_scored"),
+            F.col("_b").alias("source_model"),
+            "n_tok",
+            F.floor(F.col("_sum").cast("double") / F.col("n_tok"))
+            .cast("long")
+            .alias("mean_nll_x1e6"),
+        )
+    )
