@@ -5636,6 +5636,50 @@ def _oracle_domain_matrix() -> str:
     """
 
 
+def q_edit_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked Levenshtein near-dup over the documents corpus plus
+    planted small edits (doc_id%13==1 re-added under +10^5 with
+    ' v2' appended → distance 3, same prefix block); natural exact
+    dups land at distance 0."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    planted = docs.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    return D.levenshtein_neardup(docs.unionByName(planted))
+
+
+def _oracle_edit_neardup() -> str:
+    return r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' v2' FROM documents
+      WHERE doc_id % 13 = 1),
+    base AS (
+      SELECT doc_id AS id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+             md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        1, 24)) AS bk
+      FROM corpus WHERE text IS NOT NULL),
+    kept AS (
+      SELECT *, length(t) AS l,
+             count(*) OVER (PARTITION BY bk) AS bn
+      FROM base QUALIFY bn <= 64)
+    SELECT a.id AS id_a, b.id AS id_b,
+           levenshtein(a.t, b.t)::BIGINT AS dist
+    FROM kept a JOIN kept b
+      ON a.bk = b.bk AND a.id < b.id AND abs(a.l - b.l) <= 5
+    WHERE levenshtein(a.t, b.t) <= 5
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5753,6 +5797,7 @@ def queries():
         "release_pipeline": q_release_pipeline,
         "skew_report": q_skew_report,
         "domain_matrix": q_domain_matrix,
+        "edit_neardup": q_edit_neardup,
     }
 
 
@@ -5877,4 +5922,5 @@ def oracle_sql():
         "release_pipeline": _oracle_release_pipeline(),
         "skew_report": _oracle_skew_report(),
         "domain_matrix": _oracle_domain_matrix(),
+        "edit_neardup": _oracle_edit_neardup(),
     }
