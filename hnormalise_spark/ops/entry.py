@@ -5247,7 +5247,9 @@ def q_heaps(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_heaps() -> str:
-    ladder = ", ".join(str(t) for t in [2 ** k for k in range(4, 21)])
+    from hnormalise_spark.ops.textops import HEAPS_LADDER
+
+    ladder = ", ".join(str(t) for t in HEAPS_LADDER)
     return f"""
     WITH w AS (SELECT doc_id, [x FOR x IN split(text, ' ') IF x <> ''] AS ws
                FROM documents WHERE text IS NOT NULL),
@@ -5524,7 +5526,10 @@ def q_release_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-q_release_pipeline.__doc__ = q_release_pipeline.__doc__.format(cap=RELEASE_CAP)
+if q_release_pipeline.__doc__:  # absent under python -OO
+    q_release_pipeline.__doc__ = q_release_pipeline.__doc__.format(
+        cap=RELEASE_CAP
+    )
 
 
 def _oracle_release_pipeline() -> str:
@@ -5610,9 +5615,13 @@ def q_domain_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_domain_matrix() -> str:
+    # word split replays textops._words (\\s+ on trimmed text), the
+    # same fragment _oracle_domain_reweight uses — NOT the single-
+    # space split of the pmi/blocklist family, whose Spark sides
+    # split on ' ' literally
     return """
     WITH w AS (SELECT source AS g,
-                      unnest([x FOR x IN split(text, ' ') IF x <> '']) AS word
+                      unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
                FROM documents
                WHERE text IS NOT NULL AND trim(text) <> ''),
     c AS (SELECT g, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),

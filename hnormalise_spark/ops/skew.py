@@ -62,9 +62,10 @@ def skew_report(
         )
         .cast("long")
         .alias("share_ppm"),
-        F.floor(
-            (F.col("n_rows") * F.lit(int(tasks)) + F.col("_total") - 1)
-            / F.col("_total")
+        # `div` = exact integer division (the docstring's claim);
+        # floor(double/double) would drift by one past 2^53
+        F.expr(
+            f"(n_rows * {int(tasks)}L + _total - 1L) div _total"
         )
         .cast("long")
         .alias("salt_buckets"),

@@ -38,3 +38,17 @@ def test_top_k_cuts(spark):
     out = skew_report(df, "k", top_k=3, tasks=4).collect()
     assert [r.key for r in out] == ["k19", "k18", "k17"]
     assert all(r.n_keys_total == 20 for r in out)
+
+
+def test_salt_division_exact_at_huge_magnitudes(spark):
+    # the huge-table regime the op advertises: numerator past 2^53,
+    # where floor(double/double) drifts by one but `div` stays exact.
+    # n_rows = 2^57, tasks = 32, total = 2^59 → (9·2^59 − 1) div 2^59 = 8
+    row = spark.sql(
+        "SELECT (144115188075855872L * 32L + 576460752303423488L - 1L)"
+        "         div 576460752303423488L AS exact,"
+        "       floor((144115188075855872L * 32L + 576460752303423488L - 1L)"
+        "             / 576460752303423488L) AS via_double"
+    ).first()
+    assert row.exact == 8
+    assert row.via_double == 9  # the drift skew_report must NOT exhibit
