@@ -5689,6 +5689,78 @@ def _oracle_edit_neardup() -> str:
     """
 
 
+def q_quality_pct(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality percentile calibration (exact cume_dist in
+    integer ppm) — the normalization before cross-source quality
+    thresholds."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+    )
+    return T.quality_percentiles(docs)
+
+
+def _oracle_quality_pct() -> str:
+    return r"""
+    WITH base AS (
+      SELECT doc_id, source,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+               AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens,
+             greatest(length(text), 1) AS n
+      FROM documents WHERE text IS NOT NULL),
+    q AS (
+      SELECT doc_id, source,
+             floor(((n_alpha / n) * 0.6
+                    + CASE WHEN n_tokens >= 5 AND n_tokens <= 10000
+                           THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((n_punct / n) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4
+      FROM base)
+    SELECT doc_id, source, quality_x1e4,
+           floor(cume_dist() OVER (PARTITION BY source
+                                   ORDER BY quality_x1e4)
+                 * 1000000.0 + 0.5)::BIGINT AS pct_ppm
+    FROM q
+    """
+
+
+def q_exemplars(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic data-card exemplars: per (source, 100-char length
+    bucket), the min-md5(id) document with id, length, and a 40-char
+    snippet."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+    )
+    return T.exemplar_docs(docs)
+
+
+def _oracle_exemplars() -> str:
+    return """
+    WITH base AS (
+      SELECT source, floor((length(text) - 1) / 100)::BIGINT AS len_bucket,
+             md5(doc_id::VARCHAR) AS h, doc_id,
+             length(text)::BIGINT AS n_chars,
+             substr(text, 1, 40) AS snippet
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+    SELECT source, len_bucket,
+           arg_min(doc_id, h) AS doc_id,
+           arg_min(n_chars, h) AS n_chars,
+           arg_min(snippet, h) AS snippet
+    FROM base GROUP BY 1, 2
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5807,6 +5879,8 @@ def queries():
         "skew_report": q_skew_report,
         "domain_matrix": q_domain_matrix,
         "edit_neardup": q_edit_neardup,
+        "quality_pct": q_quality_pct,
+        "exemplars": q_exemplars,
     }
 
 
@@ -5932,4 +6006,6 @@ def oracle_sql():
         "skew_report": _oracle_skew_report(),
         "domain_matrix": _oracle_domain_matrix(),
         "edit_neardup": _oracle_edit_neardup(),
+        "quality_pct": _oracle_quality_pct(),
+        "exemplars": _oracle_exemplars(),
     }

@@ -2253,3 +2253,104 @@ def cross_domain_nll(
             .alias("mean_nll_x1e6"),
         )
     )
+
+
+def quality_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quality-score calibration: each document's EXACT
+    percentile (cume_dist, integer ppm) of its quality score WITHIN
+    its own group — the normalization step before any cross-source
+    quality threshold, because raw heuristic scores are not
+    comparable across domains (code scores low on alpha-ratio that
+    would be garbage-level for prose). Filtering "bottom 10% PER
+    SOURCE" via ``pct_ppm <= 100000`` removes each domain's worst
+    rather than everything from the lowest-scoring domain.
+
+    Ties share a percentile (cume_dist, not row-number rank), so the
+    result is deterministic with NO id tiebreak in the ordering —
+    engine-portable by the SQL-standard definition. Null-text docs
+    are excluded (their score is undefined; engines also disagree on
+    default NULL sort order, so excluding is the portable totality
+    boundary — route them through a keep flag upstream if needed).
+
+    Scale shape: ONE window keyed by the group — the honest cost of
+    EXACT percentiles is a per-group sort, so a single giant group
+    serializes onto one task's sort (spill-backed). At that scale use
+    the mergeable ``histogram sketch`` path (``sketch_quantiles`` /
+    ``length_trim``'s band machinery) for bin-granular percentiles
+    with map-side combine instead; this op is the exact form the
+    sketch is an approximation of.
+    """
+    from pyspark.sql import Window
+
+    q = F.floor(quality_score(F.col(text_col)) * F.lit(10000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(group_col),
+        q.alias("quality_x1e4"),
+    )
+    w = Window.partitionBy(group_col).orderBy("quality_x1e4")
+    return base.select(
+        id_col,
+        group_col,
+        "quality_x1e4",
+        F.floor(F.cume_dist().over(w) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("pct_ppm"),
+    )
+
+
+def exemplar_docs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 100,
+    snippet_len: int = 40,
+) -> DataFrame:
+    """Deterministic "representative examples" extraction — the
+    examples section of a data card (Datasheets for Datasets §3.2
+    asks for them; ``data_card`` reports the numbers, this picks the
+    docs): per (group, length bucket), the document with the MINIMUM
+    md5(id) — a fixed unbiased-within-bucket choice that every
+    engine, run, and partitioning reproduces, unlike "first row" or
+    RAND(). One row per non-empty (group, bucket) with the chosen
+    doc's id, length, and a leading snippet.
+
+    Scale shape: the argmin is a map-side-combinable STRUCT-MIN
+    aggregate keyed (group, bucket) — the ``canonical_by_quality``
+    trick, never a per-group sort or window — so the shuffle carries
+    one candidate struct per group-bucket per task. The snippet rides
+    inside the struct; full text never survives the aggregate.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.floor((F.length(text_col) - 1) / int(bucket_width))
+        .cast("long")
+        .alias("_b"),
+        F.struct(
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+            F.col(id_col).cast("long").alias("id"),
+            F.length(text_col).cast("long").alias("n_chars"),
+            F.substring(F.col(text_col), 1, int(snippet_len)).alias("snip"),
+        ).alias("_cand"),
+    )
+    return (
+        base.groupBy("_g", "_b")
+        .agg(F.min("_cand").alias("_w"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_b").alias("len_bucket"),
+            F.col("_w.id").alias(id_col),
+            F.col("_w.n_chars").alias("n_chars"),
+            F.col("_w.snip").alias("snippet"),
+        )
+    )

@@ -61,7 +61,8 @@ LEGS = [
     # both pure documents-table ops
     "pmi_phrases", "blocklist", "snapshot_diff", "heaps_growth",
     "lang_confusion", "span_plan", "distinct_ngrams", "budget_batches",
-    "release_pipeline", "domain_matrix", "edit_neardup",
+    "release_pipeline", "domain_matrix", "edit_neardup", "quality_pct",
+    "exemplars",
 ]
 REPLICAS = 10
 
