@@ -5761,6 +5761,123 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_sft_masking(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT chat prep: build fixed-width alternating user/assistant
+    turns from each document's token stream and derive the loss-mask
+    + context-truncation accounting FROM the materialized structure
+    (the oracle recomputes every count in closed form — agreement
+    proves the structure was built right)."""
+    from hnormalise_spark.ops import chatops as C
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return C.sft_mask_stats(docs, turn_tokens=8, max_ctx=50)
+
+
+def _oracle_sft_masking() -> str:
+    # Closed-form replay: all turns are 8 tokens except the last
+    # (L = n_tok - 8*(n_turns-1)); user turns are the even indices, so
+    # n_user = 8*floor(n_turns/2) + (L if the last index is even).
+    # Greedy whole-turn packing into 50 tokens keeps
+    # min(n_turns-1, 6) full turns, then the last turn iff every full
+    # turn fit and L fits the remaining budget (the latch: a dropped
+    # middle turn closes the window for the short final turn too).
+    return r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tok
+      FROM documents WHERE text IS NOT NULL),
+    t AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok = 0 THEN 0
+                  ELSE ((n_tok + 7) // 8) END AS n_turns,
+             CASE WHEN n_tok = 0 THEN 0
+                  ELSE n_tok - 8 * ((n_tok + 7) // 8 - 1) END AS last_l
+      FROM tok),
+    r AS (
+      SELECT doc_id, n_tok, n_turns, last_l,
+             CASE WHEN n_turns = 0 THEN 0
+                  ELSE 8 * (n_turns // 2)
+                       + CASE WHEN (n_turns - 1) % 2 = 0
+                              THEN last_l ELSE 0 END END AS n_user_tok,
+             least(n_turns - 1, 6) AS kept_full
+      FROM t),
+    k AS (
+      SELECT *,
+             CASE WHEN n_turns > 0 AND kept_full = n_turns - 1
+                       AND last_l <= 50 - 8 * kept_full
+                  THEN 1 ELSE 0 END AS last_kept
+      FROM r)
+    SELECT doc_id, n_tok, n_turns, n_user_tok,
+           n_tok - n_user_tok AS n_asst_tok,
+           CASE WHEN n_tok > 0
+                THEN floor((n_tok - n_user_tok) / n_tok * 1000000.0
+                           + 0.5)::BIGINT
+                ELSE 0 END AS loss_ppm,
+           CASE WHEN n_turns = 0 THEN 0
+                ELSE kept_full + last_kept END AS kept_turns,
+           CASE WHEN n_turns = 0 THEN 0
+                ELSE 8 * kept_full + last_kept * last_l END AS kept_tokens,
+           n_tok - CASE WHEN n_turns = 0 THEN 0
+                        ELSE 8 * kept_full + last_kept * last_l END
+             AS trunc_tokens
+    FROM k
+    """
+
+
+def q_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-staged curriculum schedule: global-percentile stage,
+    deterministic md5 order within stage, running token count."""
+    from hnormalise_spark.ops import chatops as C
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return C.curriculum_schedule(docs, n_stages=4)
+
+
+def _oracle_curriculum() -> str:
+    return r"""
+    WITH base AS (
+      SELECT doc_id,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[A-Za-z0-9 \t\n]', '', 'g'))
+               AS n_punct,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens,
+             greatest(length(text), 1) AS n
+      FROM documents WHERE text IS NOT NULL),
+    q AS (
+      SELECT doc_id, n_tokens::BIGINT AS n_tok,
+             floor(((n_alpha / n) * 0.6
+                    + CASE WHEN n_tokens >= 5 AND n_tokens <= 10000
+                           THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((n_punct / n) * 4, 1.0)) * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS quality_x1e4,
+             md5(doc_id::VARCHAR) AS h
+      FROM base),
+    s AS (
+      SELECT doc_id, quality_x1e4, n_tok, h,
+             least(3, floor(cume_dist() OVER (ORDER BY quality_x1e4)
+                            * 4.0 - 1e-9))::BIGINT AS stage
+      FROM q)
+    SELECT doc_id, stage, quality_x1e4, n_tok,
+           row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)
+             ::BIGINT AS rank_in_stage,
+           sum(n_tok) OVER (PARTITION BY stage ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+    FROM s
+    """
+
+
 def queries():
     return {
         "text_analyze": q_text_analyze,
@@ -5881,6 +5998,8 @@ def queries():
         "edit_neardup": q_edit_neardup,
         "quality_pct": q_quality_pct,
         "exemplars": q_exemplars,
+        "sft_masking": q_sft_masking,
+        "curriculum": q_curriculum,
     }
 
 
@@ -6008,4 +6127,6 @@ def oracle_sql():
         "edit_neardup": _oracle_edit_neardup(),
         "quality_pct": _oracle_quality_pct(),
         "exemplars": _oracle_exemplars(),
+        "sft_masking": _oracle_sft_masking(),
+        "curriculum": _oracle_curriculum(),
     }
