@@ -1033,3 +1033,72 @@ def levenshtein_neardup(
         )
         .filter(F.col("dist") <= int(max_dist))
     )
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_chars: int = 32,
+    max_block: int = 64,
+) -> DataFrame:
+    """Prefix-containment dedup: pairs where one document is an EXACT
+    prefix of a longer one (after whitespace/case normalisation) — the
+    crawl-truncation artifact class (re-fetches cut by timeouts or
+    length caps) that Jaccard methods score as merely "similar" and
+    exact dedup misses entirely.
+
+    Blocking: the prefix relation is not an equi-join, but any prefix
+    pair of length ≥ ``key_chars`` AGREES on its first ``key_chars``
+    normalized chars, so blocking on that substring makes it one.
+    Documents shorter than ``key_chars`` are out of scope (stated
+    recall bound: sub-32-char fragments are exact-dedup territory,
+    not truncation artifacts).
+
+    Returns (id_a, id_b, len_a, len_b): id_a = the truncated prefix
+    doc, id_b = the longer doc, lengths of the normalized texts
+    (strictly len_a < len_b — equal texts belong to ``exact_dedup``).
+
+    Scale shape: one block-key shuffle + in-block join, with the same
+    two quadratic guards as :func:`levenshtein_neardup`: a COUNT
+    WINDOW on the block partitioning drops blocks over ``max_block``
+    members (a hot 32-char prefix is boilerplate), and the verify is
+    a per-pair substring compare bounded by len_a. Nothing collects;
+    nothing is all-pairs.
+    """
+    norm = normalized_text(F.col(text_col))
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), norm.alias("_t"))
+        .filter(F.length("_t") >= int(key_chars))
+        .withColumn("_bk", F.substring("_t", 1, int(key_chars)))
+        .withColumn("_len", F.length("_t"))
+    )
+    kept = base.withColumn(
+        "_bn", F.count(F.lit(1)).over(Window.partitionBy("_bk"))
+    ).filter(F.col("_bn") <= int(max_block))
+    a = kept.select(
+        "_bk",
+        F.col("_id").alias("id_a"),
+        F.col("_t").alias("_ta"),
+        F.col("_len").alias("len_a"),
+    )
+    b = kept.select(
+        "_bk",
+        F.col("_id").alias("id_b"),
+        F.col("_t").alias("_tb"),
+        F.col("_len").alias("len_b"),
+    )
+    return (
+        a.join(b, "_bk")
+        .filter(F.col("len_a") < F.col("len_b"))
+        .filter(
+            F.col("_tb").substr(F.lit(1), F.length("_ta")) == F.col("_ta")
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("len_a").cast("long").alias("len_a"),
+            F.col("len_b").cast("long").alias("len_b"),
+        )
+    )

@@ -5761,6 +5761,50 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_prefix_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Prefix-containment dedup over documents + planted truncation
+    artifacts (every 13th doc re-added as its own 61-char prefix) —
+    each plant must pair with its source."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    planted = docs.filter(
+        (F.col("doc_id") % 13 == 3) & (F.length("text") >= 80)
+    ).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.substring("text", 1, 61).alias("text"),
+    )
+    return D.prefix_containment_pairs(docs.unionByName(planted))
+
+
+def _oracle_prefix_dedup() -> str:
+    return r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000, substr(text, 1, 61) FROM documents
+      WHERE doc_id % 13 = 3 AND length(text) >= 80),
+    base AS (
+      SELECT doc_id AS id,
+             lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+      FROM all_docs WHERE text IS NOT NULL),
+    k AS (
+      SELECT id, t, length(t) AS l, substr(t, 1, 32) AS bk
+      FROM base WHERE length(t) >= 32),
+    kept AS (
+      SELECT *, count(*) OVER (PARTITION BY bk) AS bn
+      FROM k QUALIFY bn <= 64)
+    SELECT a.id AS id_a, b.id AS id_b,
+           a.l::BIGINT AS len_a, b.l::BIGINT AS len_b
+    FROM kept a JOIN kept b ON a.bk = b.bk AND a.l < b.l
+    WHERE substr(b.t, 1, a.l) = a.t
+    """
+
+
 def q_sft_masking(spark: SparkSession, sf: str) -> DataFrame:
     """SFT chat prep: build fixed-width alternating user/assistant
     turns from each document's token stream and derive the loss-mask
@@ -6000,6 +6044,7 @@ def queries():
         "exemplars": q_exemplars,
         "sft_masking": q_sft_masking,
         "curriculum": q_curriculum,
+        "prefix_dedup": q_prefix_dedup,
     }
 
 
@@ -6129,4 +6174,5 @@ def oracle_sql():
         "exemplars": _oracle_exemplars(),
         "sft_masking": _oracle_sft_masking(),
         "curriculum": _oracle_curriculum(),
+        "prefix_dedup": _oracle_prefix_dedup(),
     }
