@@ -1102,3 +1102,85 @@ def prefix_containment_pairs(
             F.col("len_b").cast("long").alias("len_b"),
         )
     )
+
+
+def minhash_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    sample: int = 60,
+    mutate_every: int = 3,
+    mutate_suffix: str = " qq ww ee rr tt",
+) -> DataFrame:
+    """LSH quality eval: does the banded MinHash candidate stage
+    actually SEE the near-dup pairs exact Jaccard would report? The
+    production dedup never computes ground truth (that is the point
+    of LSH), so this harness measures it on a bounded known-answer
+    bed: a fixed-size deterministic sample (top-``sample`` docs by
+    md5(id) — reproducible on any engine/partitioning) plus an
+    injected near-dup for every ``mutate_every``-th sampled doc
+    (suffix append ⇒ known high-Jaccard pair), evaluated against
+    EXACT all-pairs shingle Jaccard within the bed.
+
+    One row: ``n_truth`` (exact pairs ≥ threshold), ``n_cand`` (band
+    -collision candidate pairs, pre-verify), ``n_verified``
+    (candidates passing exact-Jaccard verify — by construction the
+    truth ∩ candidate set), ``recall_ppm`` = verified/truth,
+    ``precision_ppm`` = verified/candidates (both 10^6 when the
+    denominator is 0). Recall < 10^6 means the band/row split is too
+    strict for the threshold; low precision means it wastes verify
+    work — the two dials of ``minhash_lsh_dedup``.
+
+    Scale shape: the bed is FIXED SIZE regardless of corpus (the
+    sample is a TakeOrdered top-S, the all-pairs truth join is
+    S'×S'/2 ≤ ~3k pairs on a broadcast side), so the harness costs
+    the same at 10^12 docs as at 10^3 — the exact-truth quadratic is
+    bounded by construction, never by luck.
+    """
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
+    )
+    bed0 = base.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(
+        int(sample)
+    )
+    plants = bed0.filter(F.col("_id") % int(mutate_every) == 0).select(
+        (F.col("_id") + 500_000).alias("_id"),
+        F.concat(F.col("_t"), F.lit(mutate_suffix)).alias("_t"),
+    )
+    bed = bed0.unionByName(plants)
+
+    cand = minhash_lsh_dedup(
+        bed, text_col="_t", id_col="_id", n=n, k=k, bands=bands, threshold=0.0
+    )
+    cand_m = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("jaccard") >= float(threshold), 1).otherwise(0))
+        .cast("long")
+        .alias("n_verified"),
+    )
+
+    sh = bed.select(
+        F.col("_id"), char_shingles(F.col("_t"), n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("ia"), F.col("_sh").alias("sa"))
+    b = sh.select(F.col("_id").alias("ib"), F.col("_sh").alias("sb"))
+    truth_m = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .filter(jaccard(F.col("sa"), F.col("sb")) >= float(threshold))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    )
+
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num / den * F.lit(1e6) + F.lit(0.5))
+    ).otherwise(F.lit(1_000_000)).cast("long")
+    return truth_m.crossJoin(cand_m).select(
+        "n_truth",
+        "n_cand",
+        "n_verified",
+        ppm(F.col("n_verified"), F.col("n_truth")).alias("recall_ppm"),
+        ppm(F.col("n_verified"), F.col("n_cand")).alias("precision_ppm"),
+    )

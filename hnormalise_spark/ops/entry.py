@@ -5761,6 +5761,86 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH recall/precision eval on the bounded known-answer bed
+    (top-60 md5 sample + injected suffix near-dups) vs exact
+    all-pairs Jaccard truth."""
+    from hnormalise_spark.ops import dedup as D
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return D.minhash_recall_eval(docs)
+
+
+def _oracle_dedup_eval() -> str:
+    from hnormalise_spark.ops.dedup import MINHASH_P, minhash_params
+
+    k, bands, rows = 16, 4, 4
+    params = minhash_params(k)
+    hex7 = " + ".join(
+        f"{16 ** (6 - j)} * (strpos('0123456789abcdef', substr(md5(x), {j + 1}, 1)) - 1)"
+        for j in range(7)
+    )
+    sig = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a}::BIGINT * h + {b}) % {MINHASH_P})) AS g{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_list = ", ".join(
+        f"md5('b{b}:' || "
+        + " || '|' || ".join(f"g{b * rows + r}::VARCHAR" for r in range(rows))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH bed0 AS (
+      SELECT doc_id AS id, text AS t FROM documents
+      WHERE text IS NOT NULL
+      QUALIFY row_number() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id)
+              <= 60),
+    bed AS (
+      SELECT id, t FROM bed0
+      UNION ALL
+      SELECT id + 500000, t || ' qq ww ee rr tt' FROM bed0
+      WHERE id % 3 = 0),
+    norm AS (SELECT id,
+                    lower(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS t
+             FROM bed),
+    sh AS (SELECT id,
+                  CASE WHEN length(t) < 5 THEN [t]
+                       ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                         i -> substr(t, i, 5))) END AS s
+           FROM norm),
+    hv AS (SELECT id, s, list_transform(s, x -> {hex7}) AS hv FROM sh),
+    sig AS (SELECT id, s, {sig} FROM hv),
+    band AS (SELECT id, s, unnest([{band_list}]) AS bk FROM sig),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    len(list_intersect(a.s, b.s)) AS inter,
+                    len(a.s) AS la, len(b.s) AS lb
+             FROM band a JOIN band b ON a.bk = b.bk AND a.id < b.id),
+    cm AS (SELECT count(*)::BIGINT AS n_cand,
+                  coalesce(sum(CASE WHEN inter / (la + lb - inter) >= 0.5
+                                    THEN 1 ELSE 0 END), 0)::BIGINT
+                    AS n_verified
+           FROM cand),
+    tm AS (SELECT count(*)::BIGINT AS n_truth
+           FROM sh a JOIN sh b ON a.id < b.id
+           WHERE len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.5)
+    SELECT n_truth, n_cand, n_verified,
+           CASE WHEN n_truth > 0
+                THEN floor(n_verified / n_truth * 1000000.0 + 0.5)::BIGINT
+                ELSE 1000000 END AS recall_ppm,
+           CASE WHEN n_cand > 0
+                THEN floor(n_verified / n_cand * 1000000.0 + 0.5)::BIGINT
+                ELSE 1000000 END AS precision_ppm
+    FROM tm CROSS JOIN cm
+    """
+
+
 def q_prefix_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Prefix-containment dedup over documents + planted truncation
     artifacts (every 13th doc re-added as its own 61-char prefix) —
@@ -6045,6 +6125,7 @@ def queries():
         "sft_masking": q_sft_masking,
         "curriculum": q_curriculum,
         "prefix_dedup": q_prefix_dedup,
+        "dedup_eval": q_dedup_eval,
     }
 
 
@@ -6175,4 +6256,5 @@ def oracle_sql():
         "sft_masking": _oracle_sft_masking(),
         "curriculum": _oracle_curriculum(),
         "prefix_dedup": _oracle_prefix_dedup(),
+        "dedup_eval": _oracle_dedup_eval(),
     }
