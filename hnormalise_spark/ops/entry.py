@@ -5761,6 +5761,69 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (p=6, RSE ~13%),
+    published beside the exact count like sketch_distinct — the two
+    standard mergeable cardinality sketches side by side."""
+    from hnormalise_spark.ops import sketches as SK
+
+    ev = spread_to_cores(spark.read.parquet(f"{sf}/events.parquet"))
+    sk = SK.hll_sketch(ev, ["event_type"], "user_id", p=6)
+    est = SK.hll_estimate(sk, ["event_type"], p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_exact", "est_distinct_x1e3"
+    )
+
+
+def _oracle_hll_distinct() -> str:
+    from hnormalise_spark.ops.sketches import (
+        HLL_RHO_MAX,
+        HLL_W_BITS,
+        hll_alpha,
+        hll_linear_counting_x1e3,
+    )
+
+    p, m = 6, 64
+    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    lc = hll_linear_counting_x1e3(p)
+    hex15 = " + ".join(
+        f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
+        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
+        for j in range(15)
+    )
+    return f"""
+    WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
+    r AS (SELECT event_type, h % {m} AS j,
+                 CASE WHEN (h >> {p}) = 0 THEN {HLL_RHO_MAX}
+                      ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
+                           ::INT + 1 END AS rho
+          FROM hv),
+    sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (SELECT event_type, count(*)::BIGINT AS np,
+                   sum(power(2.0, {HLL_W_BITS + 1} - reg)::BIGINT)::BIGINT
+                     AS sp
+            FROM sk GROUP BY 1),
+    est AS (SELECT event_type,
+                   ({m} - np)::INT AS v,
+                   {numer!r} / (sp + ({m} - np)
+                                * {1 << (HLL_W_BITS + 1)})::DOUBLE AS e_raw
+            FROM agg),
+    fin AS (SELECT event_type,
+                   CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
+                        THEN ([{", ".join(str(x) for x in lc)}])[v]
+                        ELSE floor(e_raw * 1000.0 + 0.5)::BIGINT
+                   END AS est_distinct_x1e3
+            FROM est),
+    e AS (SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+          FROM events GROUP BY 1)
+    SELECT event_type, n_exact, est_distinct_x1e3
+    FROM fin JOIN e USING (event_type)
+    """
+
+
 def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
     """LSH recall/precision eval on the bounded known-answer bed
     (top-60 md5 sample + injected suffix near-dups) vs exact
@@ -6126,6 +6189,7 @@ def queries():
         "curriculum": q_curriculum,
         "prefix_dedup": q_prefix_dedup,
         "dedup_eval": q_dedup_eval,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -6257,4 +6321,5 @@ def oracle_sql():
         "curriculum": _oracle_curriculum(),
         "prefix_dedup": _oracle_prefix_dedup(),
         "dedup_eval": _oracle_dedup_eval(),
+        "hll_distinct": _oracle_hll_distinct(),
     }

@@ -496,3 +496,125 @@ def hist_quantiles(
         .agg(F.min("bin").alias("bin"))
         .withColumn("est", (F.col("bin").cast("long") * F.lit(int(width))))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (register-rows form)
+
+HLL_W_BITS = 54  # 60-bit hash minus p=6 index bits; rho ∈ [1, 55]
+HLL_RHO_MAX = HLL_W_BITS + 1
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m ≥ 64 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HyperLogLog registers: one row per (group, register)
+    with the max rho observed — the industry-standard mergeable
+    cardinality sketch (RSE ≈ 1.04/√m), built beside the k-mins
+    sketch so both estimators share the corpus-stats toolbox. Absent
+    registers mean "no value hashed there" (register value 0); the
+    rows form stores only present ones and the estimator adds the
+    zero mass back arithmetically.
+
+    Hash split of the 60-bit md5 value hash: low ``p`` bits pick the
+    register, the remaining 54 bits are the rho stream; rho = index
+    of the lowest set bit (1-based, 55 when all zero) computed as
+    ``floor(log2(w & -w)) + 1`` — log2 of an exact power of two is
+    exact in IEEE doubles, so the value is engine-portable without a
+    bit-scan builtin.
+
+    Scale shape: one map-side-combinable MAX aggregate keyed
+    (group, register); the sketch is ≤ m BIGINT rows per group
+    regardless of input size, and :func:`hll_merge` is union +
+    re-max (associative, commutative, idempotent) so shard/day
+    sketches fold without touching raw data.
+    """
+    m = 1 << p
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(*group_cols, h.alias("_h"))
+    w = F.shiftright(F.col("_h"), p)
+    lowbit = w.bitwiseAND(-w)
+    rho = (
+        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.floor(F.log2(lowbit.cast("double"))) + 1)
+        .cast("int")
+    )
+    return (
+        base.select(
+            *group_cols,
+            (F.col("_h") % m).cast("int").alias("j"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*group_cols, "j")
+        .agg(F.max("_rho").cast("int").alias("reg"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + re-max: the sketch of the union of the value sets."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group_cols = [c for c in out.columns if c not in ("j", "reg")]
+    return out.groupBy(*group_cols, "j").agg(F.max("reg").alias("reg"))
+
+
+def hll_linear_counting_x1e3(p: int = 6) -> list[int]:
+    """Small-range linear-counting estimates m·ln(m/V) for V=1..m,
+    precomputed in Python and EMBEDDED in both engines: ln is libm
+    territory (JVM vs C library may differ in the last ulp), so the
+    cross-engine contract ships the 64 integers instead of trusting
+    two math libraries to round identically."""
+    import math
+
+    m = 1 << p
+    return [
+        int(math.floor(m * math.log(m / v) * 1000.0 + 0.5))
+        for v in range(1, m + 1)
+    ]
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """Cardinality estimate per group from HLL registers, published
+    as BIGINT ``est_distinct_x1e3``.
+
+    Portability: the harmonic sum is kept INTEGER — sum of
+    2^(55-reg) per present register plus 2^55 per absent one — so it
+    is order-independent (double summation order is not); the single
+    double division uses a Python-float numerator constant, and the
+    small-range linear-counting branch (E ≤ 2.5m with empty
+    registers) reads the embedded integer table rather than calling
+    ln in-engine.
+    """
+    m = 1 << p
+    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    lc = hll_linear_counting_x1e3(p)
+    term = F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("reg")).cast("long")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_np"),
+        F.sum(term).cast("long").alias("_sp"),
+    )
+    s_total = F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(
+        1 << (HLL_W_BITS + 1)
+    ).cast("long")
+    v_zero = (F.lit(m) - F.col("_np")).cast("int")
+    e_raw = F.lit(numer) / s_total.cast("double")
+    est = F.when(
+        (v_zero > 0) & (e_raw <= F.lit(2.5 * m)),
+        F.element_at(F.array(*[F.lit(x) for x in lc]), v_zero),
+    ).otherwise(F.floor(e_raw * F.lit(1000.0) + F.lit(0.5)))
+    return agg.select(
+        *group_cols, est.cast("long").alias("est_distinct_x1e3")
+    )

@@ -63,6 +63,11 @@ LEGS = [
     "lang_confusion", "span_plan", "distinct_ngrams", "budget_batches",
     "release_pipeline", "domain_matrix", "edit_neardup", "quality_pct",
     "exemplars",
+    # continued-session additions: SFT/chat prep + curriculum
+    # (documents-table), prefix-containment dedup, and the
+    # fixed-size-bed LSH eval (its stamp SHOULD be ~flat — the
+    # bounded-cost property is the thing being stamped)
+    "sft_masking", "curriculum", "prefix_dedup", "dedup_eval",
 ]
 REPLICAS = 10
 
