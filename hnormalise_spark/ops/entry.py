@@ -5824,6 +5824,76 @@ def _oracle_hll_distinct() -> str:
     """
 
 
+def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL through the MERGE path: per-(event_type, day) partial
+    sketches folded by hll_merge, estimate from the merged registers.
+    By the max merge law this must EQUAL the whole-corpus sketch —
+    the oracle computes the direct form, so the gate verifies the
+    re-scan-free daily-rollup story end to end."""
+    from hnormalise_spark.ops import sketches as SK
+
+    ev = spread_to_cores(
+        spark.read.parquet(f"{sf}/events.parquet").select(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        )
+    )
+    daily = SK.hll_sketch(ev, ["event_type", "day"], "user_id", p=6)
+    merged = SK.hll_merge(daily.drop("day"))
+    est = SK.hll_estimate(merged, ["event_type"], p=6)
+    days = ev.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
+    )
+    return est.join(F.broadcast(days), "event_type").select(
+        "event_type", "n_days", "est_distinct_x1e3"
+    )
+
+
+def _oracle_hll_rollup() -> str:
+    from hnormalise_spark.ops.sketches import (
+        HLL_RHO_MAX,
+        HLL_W_BITS,
+        hll_alpha,
+        hll_linear_counting_x1e3,
+    )
+
+    p, m = 6, 64
+    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    lc = hll_linear_counting_x1e3(p)
+    hex15 = " + ".join(
+        f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
+        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
+        for j in range(15)
+    )
+    return f"""
+    WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
+    r AS (SELECT event_type, h % {m} AS j,
+                 CASE WHEN (h >> {p}) = 0 THEN {HLL_RHO_MAX}
+                      ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
+                           ::INT + 1 END AS rho
+          FROM hv),
+    sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (SELECT event_type, count(*)::BIGINT AS np,
+                   sum(power(2.0, {HLL_W_BITS + 1} - reg)::BIGINT)::BIGINT
+                     AS sp
+            FROM sk GROUP BY 1),
+    est AS (SELECT event_type,
+                   ({m} - np)::INT AS v,
+                   {numer!r} / (sp + ({m} - np)
+                                * {1 << (HLL_W_BITS + 1)})::DOUBLE AS e_raw
+            FROM agg),
+    fin AS (SELECT event_type,
+                   CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
+                        THEN ([{", ".join(str(x) for x in lc)}])[v]
+                        ELSE floor(e_raw * 1000.0 + 0.5)::BIGINT
+                   END AS est_distinct_x1e3
+            FROM est),
+    d AS (SELECT event_type, COUNT(DISTINCT ts::DATE)::BIGINT AS n_days
+          FROM events GROUP BY 1)
+    SELECT event_type, n_days, est_distinct_x1e3
+    FROM fin JOIN d USING (event_type)
+    """
+
+
 def q_dedup_eval(spark: SparkSession, sf: str) -> DataFrame:
     """LSH recall/precision eval on the bounded known-answer bed
     (top-60 md5 sample + injected suffix near-dups) vs exact
@@ -6190,6 +6260,7 @@ def queries():
         "prefix_dedup": q_prefix_dedup,
         "dedup_eval": q_dedup_eval,
         "hll_distinct": q_hll_distinct,
+        "hll_rollup": q_hll_rollup,
     }
 
 
@@ -6322,4 +6393,5 @@ def oracle_sql():
         "prefix_dedup": _oracle_prefix_dedup(),
         "dedup_eval": _oracle_dedup_eval(),
         "hll_distinct": _oracle_hll_distinct(),
+        "hll_rollup": _oracle_hll_rollup(),
     }

@@ -693,3 +693,55 @@ def read_kmin_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     return parts.groupBy(*group_cols, "i").agg(
         F.min("min_hash").alias("min_hash")
     )
+
+
+def streaming_hll_sketch(
+    spark: SparkSession,
+    in_dir: str,
+    sketch_path: str,
+    group_col: str,
+    value_col: str,
+    p: int = 6,
+    max_files: int = 1,
+    snapshot_prefix: str = "hll",
+    value_type: str = "long",
+) -> StreamingQuery:
+    """Streaming HyperLogLog over the durable snapshot table — the
+    :func:`streaming_kmin_sketch` shape with max-registers instead of
+    min-hashes: each micro-batch appends its own partial register set
+    as one committed snapshot and all merging moves to read time
+    (max is associative/commutative/idempotent, so replays and
+    at-least-once delivery are absorbed exactly like the k-mins
+    case). Per-batch write is ≤ groups × 2^p rows of (group, j, reg)
+    regardless of batch volume.
+    """
+    stream = (
+        spark.readStream.schema(f"{group_col} string, {value_col} {value_type}")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from hnormalise_spark import table as T
+        from hnormalise_spark.ops.sketches import hll_sketch
+
+        part = hll_sketch(batch, [group_col], value_col, p=p)
+        T.write_snapshot(part, sketch_path, f"{snapshot_prefix}-b{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(sketch_path, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merged HLL registers from all committed partial snapshots:
+    union + per-(group, j) re-max == the batch sketch of everything
+    ever streamed."""
+    from hnormalise_spark import table as T
+
+    parts = T.read_committed(spark, sketch_path).drop("snapshot_id")
+    group_cols = [c for c in parts.columns if c not in ("j", "reg")]
+    return parts.groupBy(*group_cols, "j").agg(F.max("reg").alias("reg"))
