@@ -219,3 +219,43 @@ def curriculum_schedule(
             ws.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("long").alias("cum_tokens"),
     )
+
+
+def render_chat(
+    text: Column, turn_tokens: int = 8, first_role: str = "user"
+) -> Column:
+    """Flatten the turn structure into training text with role tags:
+    ``<|user|> tok tok ...<|assistant|> tok ...`` — the template step
+    between turn-structured data and the tokenizer. Byte-exact and
+    engine-portable (pure concat over the turn array), so the oracle
+    can pin the rendered string itself, not just its statistics.
+    Empty conversations render as ''.
+    """
+    turns = chat_turns(text, turn_tokens, first_role)
+    return F.array_join(
+        F.transform(
+            turns,
+            lambda t: F.concat(
+                F.lit("<|"), t["role"], F.lit("|> "),
+                F.array_join(t["toks"], " "),
+            ),
+        ),
+        "",
+    )
+
+
+def rendered_conversations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    turn_tokens: int = 8,
+) -> DataFrame:
+    """Per-doc rendered SFT text plus its length — zero-shuffle
+    projection; the length rides along so downstream batching can
+    budget without re-measuring."""
+    rendered = render_chat(F.col(text_col), turn_tokens)
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias(id_col),
+        rendered.alias("rendered"),
+        F.length(rendered).cast("long").alias("n_rendered_chars"),
+    )

@@ -5761,6 +5761,48 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_chat_render(spark: SparkSession, sf: str) -> DataFrame:
+    """Chat template rendering: the BYTE-EXACT flattened SFT text per
+    conversation (role tags + token spans) — the oracle pins the
+    rendered string itself, not a statistic of it."""
+    from hnormalise_spark.ops import chatops as C
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return C.rendered_conversations(docs, turn_tokens=8)
+
+
+def _oracle_chat_render() -> str:
+    return r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      FROM documents WHERE text IS NOT NULL),
+    t AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (len(toks) + 7) // 8 END AS n_turns
+      FROM tok),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN n_turns = 0 THEN ''
+                  ELSE array_to_string(
+                    list_transform(range(n_turns), i ->
+                      '<|' || CASE WHEN i % 2 = 0 THEN 'user'
+                                   ELSE 'assistant' END || '|> '
+                      || array_to_string(
+                           toks[i * 8 + 1 : least((i + 1) * 8, n)], ' ')),
+                    '') END AS rendered
+      FROM t)
+    SELECT doc_id, rendered, length(rendered)::BIGINT AS n_rendered_chars
+    FROM r
+    """
+
+
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog distinct users per event type (p=6, RSE ~13%),
     published beside the exact count like sketch_distinct — the two
@@ -6261,6 +6303,7 @@ def queries():
         "dedup_eval": q_dedup_eval,
         "hll_distinct": q_hll_distinct,
         "hll_rollup": q_hll_rollup,
+        "chat_render": q_chat_render,
     }
 
 
@@ -6394,4 +6437,5 @@ def oracle_sql():
         "dedup_eval": _oracle_dedup_eval(),
         "hll_distinct": _oracle_hll_distinct(),
         "hll_rollup": _oracle_hll_rollup(),
+        "chat_render": _oracle_chat_render(),
     }

@@ -95,3 +95,15 @@ def test_curriculum_deterministic_across_partitionings(spark):
     b = C.curriculum_schedule(df.repartition(13)).collect()
     key = lambda r: r.doc_id  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_render_chat_bytes(spark):
+    out = _docs(spark, [_words(12)]).select(
+        C.render_chat(F.col("text"), 8).alias("r")
+    ).collect()[0].r
+    assert out == "<|user|> w0 w1 w2 w3 w4 w5 w6 w7<|assistant|> w8 w9 w10 w11"
+
+
+def test_render_chat_empty(spark):
+    out = C.rendered_conversations(_docs(spark, [""])).collect()[0]
+    assert out.rendered == "" and out.n_rendered_chars == 0
