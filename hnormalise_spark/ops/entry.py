@@ -5761,6 +5761,158 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_sft_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Composed flagship #8 — the end-to-end SFT data-prep pipeline:
+    quality gate (integer score ≥ 0.5) → exact-dedup keepers →
+    chat-turn construction + loss-mask/truncation accounting →
+    per-source totals with the overall loss share and the packed
+    batch count a trainer would schedule. Every stage is an already
+    -oracled operator; the flagship verifies their COMPOSITION."""
+    from hnormalise_spark.ops import chatops as C
+    from hnormalise_spark.ops import dedup as D
+    from hnormalise_spark.ops.textops import quality_score
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "source", "text"
+        )
+    ).filter(F.col("text").isNotNull())
+
+    q = F.floor(quality_score(F.col("text")) * F.lit(10000.0) + F.lit(0.5))
+    gated = docs.withColumn("_q", q.cast("long")).filter(F.col("_q") >= 5000)
+    kept = (
+        D.exact_dedup(gated.select("doc_id", "source", "text"))
+        .filter(~F.col("is_dup"))
+        .select("doc_id")
+        .join(gated, "doc_id")
+    )
+    stats = C.sft_mask_stats(kept.select("doc_id", "text")).join(
+        kept.select("doc_id", "source"), "doc_id"
+    )
+
+    n_in = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    n_gated = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gated")
+    )
+    agg = stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+        F.sum("n_asst_tok").cast("long").alias("sum_asst_tok"),
+        F.sum("kept_tokens").cast("long").alias("sum_kept_tok"),
+        F.sum("trunc_tokens").cast("long").alias("sum_trunc_tok"),
+    )
+    return (
+        n_in.join(n_gated, "source", "left")
+        .join(agg, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_gated", F.lit(0)).cast("long").alias("n_gated"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("sum_tok", F.lit(0)).cast("long").alias("sum_tok"),
+            F.coalesce("sum_kept_tok", F.lit(0)).cast("long")
+            .alias("sum_kept_tok"),
+            F.coalesce("sum_trunc_tok", F.lit(0)).cast("long")
+            .alias("sum_trunc_tok"),
+            F.when(
+                F.coalesce("sum_tok", F.lit(0)) > 0,
+                F.floor(
+                    F.col("sum_asst_tok") / F.col("sum_tok") * F.lit(1e6)
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("loss_ppm"),
+            F.ceil(F.coalesce("sum_kept_tok", F.lit(0)) / F.lit(50.0))
+            .cast("long")
+            .alias("n_batches"),
+        )
+    )
+
+
+def _oracle_sft_pipeline() -> str:
+    return r"""
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT doc_id, source, text,
+             floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1)) * 0.6
+                    + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text),
+                                                                '\s+')) END)
+                                BETWEEN 5 AND 10000
+                           THEN 1.0 ELSE 0.3 END * 0.3
+                    + (1.0 - least((length(regexp_replace(text,
+                                     '[A-Za-z0-9 \t\n]', '', 'g'))
+                                    / greatest(length(text), 1)) * 4, 1.0))
+                      * 0.1)
+                   * 10000.0 + 0.5)::BIGINT AS q
+      FROM docs),
+    gated AS (SELECT * FROM scored WHERE q >= 5000),
+    fp AS (
+      SELECT doc_id, source, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM gated),
+    kept AS (
+      SELECT doc_id, source, text
+      FROM fp QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)),
+    tok AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tok
+      FROM kept),
+    t AS (
+      SELECT doc_id, source, n_tok,
+             CASE WHEN n_tok = 0 THEN 0
+                  ELSE ((n_tok + 7) // 8) END AS n_turns,
+             CASE WHEN n_tok = 0 THEN 0
+                  ELSE n_tok - 8 * ((n_tok + 7) // 8 - 1) END AS last_l
+      FROM tok),
+    r AS (
+      SELECT doc_id, source, n_tok, n_turns, last_l,
+             CASE WHEN n_turns = 0 THEN 0
+                  ELSE 8 * (n_turns // 2)
+                       + CASE WHEN (n_turns - 1) % 2 = 0
+                              THEN last_l ELSE 0 END END AS n_user_tok,
+             least(n_turns - 1, 6) AS kept_full
+      FROM t),
+    k AS (
+      SELECT *,
+             CASE WHEN n_turns > 0 AND kept_full = n_turns - 1
+                       AND last_l <= 50 - 8 * kept_full
+                  THEN 1 ELSE 0 END AS last_kept
+      FROM r),
+    per_doc AS (
+      SELECT doc_id, source, n_tok,
+             n_tok - n_user_tok AS n_asst_tok,
+             CASE WHEN n_turns = 0 THEN 0
+                  ELSE 8 * kept_full + last_kept * last_l END AS kept_tokens
+      FROM k),
+    agg AS (
+      SELECT source, count(*)::BIGINT AS n_kept,
+             sum(n_tok)::BIGINT AS sum_tok,
+             sum(n_asst_tok)::BIGINT AS sum_asst_tok,
+             sum(kept_tokens)::BIGINT AS sum_kept_tok,
+             sum(n_tok - kept_tokens)::BIGINT AS sum_trunc_tok
+      FROM per_doc GROUP BY 1),
+    ni AS (SELECT source, count(*)::BIGINT AS n_in FROM docs GROUP BY 1),
+    ng AS (SELECT source, count(*)::BIGINT AS n_gated FROM gated GROUP BY 1)
+    SELECT ni.source, n_in,
+           coalesce(n_gated, 0)::BIGINT AS n_gated,
+           coalesce(n_kept, 0)::BIGINT AS n_kept,
+           coalesce(sum_tok, 0)::BIGINT AS sum_tok,
+           coalesce(sum_kept_tok, 0)::BIGINT AS sum_kept_tok,
+           coalesce(sum_trunc_tok, 0)::BIGINT AS sum_trunc_tok,
+           CASE WHEN coalesce(sum_tok, 0) > 0
+                THEN floor(sum_asst_tok / sum_tok * 1000000.0 + 0.5)::BIGINT
+                ELSE 0 END AS loss_ppm,
+           ceil(coalesce(sum_kept_tok, 0) / 50.0)::BIGINT AS n_batches
+    FROM ni LEFT JOIN ng USING (source) LEFT JOIN agg ON agg.source = ni.source
+    """
+
+
 def q_chat_render(spark: SparkSession, sf: str) -> DataFrame:
     """Chat template rendering: the BYTE-EXACT flattened SFT text per
     conversation (role tags + token spans) — the oracle pins the
@@ -6304,6 +6456,7 @@ def queries():
         "hll_distinct": q_hll_distinct,
         "hll_rollup": q_hll_rollup,
         "chat_render": q_chat_render,
+        "sft_pipeline": q_sft_pipeline,
     }
 
 
@@ -6438,4 +6591,5 @@ def oracle_sql():
         "hll_distinct": _oracle_hll_distinct(),
         "hll_rollup": _oracle_hll_rollup(),
         "chat_render": _oracle_chat_render(),
+        "sft_pipeline": _oracle_sft_pipeline(),
     }

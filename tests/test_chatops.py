@@ -107,3 +107,15 @@ def test_render_chat_bytes(spark):
 def test_render_chat_empty(spark):
     out = C.rendered_conversations(_docs(spark, [""])).collect()[0]
     assert out.rendered == "" and out.n_rendered_chars == 0
+
+
+def test_sft_pipeline_invariants(spark):
+    from hnormalise_spark.ops.entry import q_sft_pipeline
+
+    rows = q_sft_pipeline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept <= r.n_gated <= r.n_in
+        assert r.sum_kept_tok + r.sum_trunc_tok == r.sum_tok
+        assert 0 <= r.loss_ppm <= 1_000_000
+        assert r.n_batches >= (1 if r.sum_kept_tok > 0 else 0)
