@@ -5997,7 +5997,7 @@ def _oracle_hll_distinct() -> str:
           FROM hv),
     sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
     agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(power(2.0, {HLL_W_BITS + 1} - reg)::BIGINT)::BIGINT
+                   sum(1::BIGINT << ({HLL_W_BITS + 1} - reg))::BIGINT
                      AS sp
             FROM sk GROUP BY 1),
     est AS (SELECT event_type,
@@ -6067,7 +6067,7 @@ def _oracle_hll_rollup() -> str:
           FROM hv),
     sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
     agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(power(2.0, {HLL_W_BITS + 1} - reg)::BIGINT)::BIGINT
+                   sum(1::BIGINT << ({HLL_W_BITS + 1} - reg))::BIGINT
                      AS sp
             FROM sk GROUP BY 1),
     est AS (SELECT event_type,

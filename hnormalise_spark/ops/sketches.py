@@ -601,7 +601,9 @@ def hll_estimate(
     m = 1 << p
     numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
     lc = hll_linear_counting_x1e3(p)
-    term = F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("reg")).cast("long")
+    # integer bit-shift, not pow(2.0, k): powers of two are exact in
+    # any sane libm, but the shift removes the dependency entirely
+    term = F.expr(f"shiftleft(1L, {HLL_W_BITS + 1} - reg)").cast("long")
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("_np"),
         F.sum(term).cast("long").alias("_sp"),
