@@ -202,10 +202,17 @@ def curriculum_schedule(
         "quality_x1e4",
         "n_tok",
         "_h",
-        F.least(
-            F.lit(n_stages - 1),
-            F.floor(F.cume_dist().over(wq) * F.lit(float(n_stages))
-                    - F.lit(1e-9)).cast("int"),
+        # both clamps: least() caps cume_dist=1.0 at the top stage,
+        # greatest() guards the bottom — at >~4e9 rows the smallest
+        # cume_dist*n_stages drops below the 1e-9 tie-epsilon and
+        # floor would emit stage -1
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_stages - 1),
+                F.floor(F.cume_dist().over(wq) * F.lit(float(n_stages))
+                        - F.lit(1e-9)).cast("int"),
+            ),
         ).cast("long").alias("stage"),
     )
     ws = Window.partitionBy("stage").orderBy("_h", id_col)

@@ -1147,8 +1147,11 @@ def minhash_recall_eval(
     bed0 = base.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(
         int(sample)
     )
+    # plant ids are the NEGATED space (-id-1): collision-proof against
+    # any non-negative corpus id, unlike a fixed offset (a corpus whose
+    # ids span the offset would conflate a plant with a real doc)
     plants = bed0.filter(F.col("_id") % int(mutate_every) == 0).select(
-        (F.col("_id") + 500_000).alias("_id"),
+        (-F.col("_id") - 1).alias("_id"),
         F.concat(F.col("_t"), F.lit(mutate_suffix)).alias("_t"),
     )
     bed = bed0.unionByName(plants)
@@ -1158,7 +1161,13 @@ def minhash_recall_eval(
     )
     cand_m = cand.agg(
         F.count(F.lit(1)).cast("long").alias("n_cand"),
-        F.sum(F.when(F.col("jaccard") >= float(threshold), 1).otherwise(0))
+        # coalesce: sum over an EMPTY candidate set is NULL, not 0
+        F.coalesce(
+            F.sum(
+                F.when(F.col("jaccard") >= float(threshold), 1).otherwise(0)
+            ),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_verified"),
     )

@@ -5974,14 +5974,14 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 def _oracle_hll_distinct() -> str:
     from hnormalise_spark.ops.sketches import (
-        HLL_RHO_MAX,
-        HLL_W_BITS,
         hll_alpha,
         hll_linear_counting_x1e3,
+        hll_w_bits,
     )
 
     p, m = 6, 64
-    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    w1 = hll_w_bits(p) + 1
+    numer = hll_alpha(m) * m * m * float(1 << w1)
     lc = hll_linear_counting_x1e3(p)
     hex15 = " + ".join(
         f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
@@ -5991,19 +5991,19 @@ def _oracle_hll_distinct() -> str:
     return f"""
     WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
     r AS (SELECT event_type, h % {m} AS j,
-                 CASE WHEN (h >> {p}) = 0 THEN {HLL_RHO_MAX}
+                 CASE WHEN (h >> {p}) = 0 THEN {w1}
                       ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
                            ::INT + 1 END AS rho
           FROM hv),
     sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
     agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(1::BIGINT << ({HLL_W_BITS + 1} - reg))::BIGINT
+                   sum(1::BIGINT << ({w1} - reg))::BIGINT
                      AS sp
             FROM sk GROUP BY 1),
     est AS (SELECT event_type,
                    ({m} - np)::INT AS v,
                    {numer!r} / (sp + ({m} - np)
-                                * {1 << (HLL_W_BITS + 1)})::DOUBLE AS e_raw
+                                * {1 << w1})::DOUBLE AS e_raw
             FROM agg),
     fin AS (SELECT event_type,
                    CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
@@ -6044,14 +6044,14 @@ def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 def _oracle_hll_rollup() -> str:
     from hnormalise_spark.ops.sketches import (
-        HLL_RHO_MAX,
-        HLL_W_BITS,
         hll_alpha,
         hll_linear_counting_x1e3,
+        hll_w_bits,
     )
 
     p, m = 6, 64
-    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    w1 = hll_w_bits(p) + 1
+    numer = hll_alpha(m) * m * m * float(1 << w1)
     lc = hll_linear_counting_x1e3(p)
     hex15 = " + ".join(
         f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
@@ -6061,19 +6061,19 @@ def _oracle_hll_rollup() -> str:
     return f"""
     WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
     r AS (SELECT event_type, h % {m} AS j,
-                 CASE WHEN (h >> {p}) = 0 THEN {HLL_RHO_MAX}
+                 CASE WHEN (h >> {p}) = 0 THEN {w1}
                       ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
                            ::INT + 1 END AS rho
           FROM hv),
     sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
     agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(1::BIGINT << ({HLL_W_BITS + 1} - reg))::BIGINT
+                   sum(1::BIGINT << ({w1} - reg))::BIGINT
                      AS sp
             FROM sk GROUP BY 1),
     est AS (SELECT event_type,
                    ({m} - np)::INT AS v,
                    {numer!r} / (sp + ({m} - np)
-                                * {1 << (HLL_W_BITS + 1)})::DOUBLE AS e_raw
+                                * {1 << w1})::DOUBLE AS e_raw
             FROM agg),
     fin AS (SELECT event_type,
                    CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
@@ -6130,7 +6130,7 @@ def _oracle_dedup_eval() -> str:
     bed AS (
       SELECT id, t FROM bed0
       UNION ALL
-      SELECT id + 500000, t || ' qq ww ee rr tt' FROM bed0
+      SELECT -id - 1, t || ' qq ww ee rr tt' FROM bed0
       WHERE id % 3 = 0),
     norm AS (SELECT id,
                     lower(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS t
@@ -6317,8 +6317,9 @@ def _oracle_curriculum() -> str:
       FROM base),
     s AS (
       SELECT doc_id, quality_x1e4, n_tok, h,
-             least(3, floor(cume_dist() OVER (ORDER BY quality_x1e4)
-                            * 4.0 - 1e-9))::BIGINT AS stage
+             greatest(0, least(3,
+                 floor(cume_dist() OVER (ORDER BY quality_x1e4)
+                       * 4.0 - 1e-9)))::BIGINT AS stage
       FROM q)
     SELECT doc_id, stage, quality_x1e4, n_tok,
            row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)

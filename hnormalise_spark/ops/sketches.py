@@ -501,7 +501,20 @@ def hist_quantiles(
 # ---------------------------------------------------------------------------
 # HyperLogLog (register-rows form)
 
-HLL_W_BITS = 54  # 60-bit hash minus p=6 index bits; rho ∈ [1, 55]
+HLL_HASH_BITS = 60  # md5-derived value hash width
+
+
+def hll_w_bits(p: int) -> int:
+    """rho-stream width for 2^p registers: 60-bit hash minus p index
+    bits. rho ∈ [1, w_bits+1]; the absent-register mass m·2^(w+1) =
+    2^61 for ANY p, so the integer harmonic sum never overflows."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    return HLL_HASH_BITS - p
+
+
+# p=6 defaults, kept for readers/tests; every function derives from p
+HLL_W_BITS = hll_w_bits(6)
 HLL_RHO_MAX = HLL_W_BITS + 1
 
 
@@ -538,6 +551,7 @@ def hll_sketch(
     sketches fold without touching raw data.
     """
     m = 1 << p
+    rho_max = hll_w_bits(p) + 1
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
@@ -545,7 +559,7 @@ def hll_sketch(
     w = F.shiftright(F.col("_h"), p)
     lowbit = w.bitwiseAND(-w)
     rho = (
-        F.when(w == 0, F.lit(HLL_RHO_MAX))
+        F.when(w == 0, F.lit(rho_max))
         .otherwise(F.floor(F.log2(lowbit.cast("double"))) + 1)
         .cast("int")
     )
@@ -599,17 +613,18 @@ def hll_estimate(
     ln in-engine.
     """
     m = 1 << p
-    numer = hll_alpha(m) * m * m * float(1 << (HLL_W_BITS + 1))
+    w1 = hll_w_bits(p) + 1
+    numer = hll_alpha(m) * m * m * float(1 << w1)
     lc = hll_linear_counting_x1e3(p)
     # integer bit-shift, not pow(2.0, k): powers of two are exact in
     # any sane libm, but the shift removes the dependency entirely
-    term = F.expr(f"shiftleft(1L, {HLL_W_BITS + 1} - reg)").cast("long")
+    term = F.expr(f"shiftleft(1L, {w1} - reg)").cast("long")
     agg = sketch.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("_np"),
         F.sum(term).cast("long").alias("_sp"),
     )
     s_total = F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(
-        1 << (HLL_W_BITS + 1)
+        1 << w1
     ).cast("long")
     v_zero = (F.lit(m) - F.col("_np")).cast("int")
     e_raw = F.lit(numer) / s_total.cast("double")
