@@ -5761,6 +5761,53 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space kNN label eval: id-mod train/test split, exact
+    cosine top-5 vote with fixed tie-breaks — the probe of whether
+    the embedding column carries its labels."""
+    from hnormalise_spark.ops import similarity as S
+
+    emb = spread_to_cores(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    return S.knn_classify(emb, k=5, test_mod=5)
+
+
+def _oracle_knn_classify() -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS id, label AS lbl, embedding AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    t AS (SELECT * FROM base WHERE id % 5 = 0
+          QUALIFY row_number() OVER (ORDER BY md5(id::VARCHAR), id) <= 200),
+    r AS (SELECT * FROM base WHERE id % 5 <> 0),
+    p AS (
+      SELECT t.id AS t_id, t.lbl AS t_lbl, r.id AS r_id, r.lbl AS r_lbl,
+             floor(
+               list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                        i -> t.v[i]::DOUBLE * r.v[i]::DOUBLE))
+               / (sqrt(list_sum(list_transform(t.v,
+                                x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(r.v,
+                                  x -> x::DOUBLE * x::DOUBLE))))
+               * 1000000.0 + 0.5)::BIGINT AS cos_x1e6
+      FROM t CROSS JOIN r),
+    topk AS (
+      SELECT * FROM p WHERE cos_x1e6 IS NOT NULL
+      QUALIFY row_number() OVER (PARTITION BY t_id
+                                 ORDER BY cos_x1e6 DESC, r_id) <= 5),
+    v AS (
+      SELECT t_id, t_lbl, r_lbl, count(*)::BIGINT AS cnt
+      FROM topk GROUP BY 1, 2, 3),
+    pick AS (
+      SELECT t_id, t_lbl, r_lbl AS pred
+      FROM v QUALIFY row_number() OVER (PARTITION BY t_id
+                                        ORDER BY cnt DESC, r_lbl) = 1)
+    SELECT t_id AS vec_id, t_lbl::BIGINT AS label,
+           pred::BIGINT AS pred_label,
+           (t_lbl = pred)::INT AS correct
+    FROM pick
+    """
+
+
 def q_sft_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Composed flagship #8 — the end-to-end SFT data-prep pipeline:
     quality gate (integer score ≥ 0.5) → exact-dedup keepers →
@@ -6458,6 +6505,7 @@ def queries():
         "hll_rollup": q_hll_rollup,
         "chat_render": q_chat_render,
         "sft_pipeline": q_sft_pipeline,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -6593,4 +6641,5 @@ def oracle_sql():
         "hll_rollup": _oracle_hll_rollup(),
         "chat_render": _oracle_chat_render(),
         "sft_pipeline": _oracle_sft_pipeline(),
+        "knn_classify": _oracle_knn_classify(),
     }

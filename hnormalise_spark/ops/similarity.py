@@ -603,3 +603,86 @@ def rrf_fuse(
     )
     w = Window.orderBy(F.desc("rrf_x1e6"), F.col(key).asc())
     return fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def knn_classify(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+    test_mod: int = 5,
+    max_test: int = 200,
+) -> DataFrame:
+    """Embedding-space kNN classification eval — the standard probe of
+    whether an embedding column carries its labels (a quality gate for
+    any learned representation in the table): deterministic id-mod
+    split into labeled train / held-out test, exact cosine top-k
+    neighbors per test vector, majority vote with fixed tie-breaks.
+
+    Determinism: neighbors rank on the FIXED-POINT cosine (x1e6) then
+    train id, so a last-ulp double cannot reorder the neighbor set
+    across engines; the vote picks max count then SMALLEST label via
+    a struct-max aggregate (map-side combinable — no second window).
+
+    Returns one row per test vector: id, true label, predicted label,
+    ``correct`` 0/1 — accuracy is one AVG away, left to the caller so
+    the per-row errors stay inspectable.
+
+    Scale shape: the test side is BOUNDED at ``max_test`` vectors
+    (md5 top-S of the held-out split — deterministic on any engine),
+    so the pairwise stage is max_test × train: linear in the corpus
+    with a fixed constant, the ann_recall shape, never quadratic.
+    Classifying an unbounded corpus swaps the candidate stage for the
+    LSH/IVF probes in this module (ann_lsh_topk / ivf_topk) and keeps
+    the identical vote stage.
+    """
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(label_col).cast("long").alias("_lbl"),
+        F.col(vec_col).alias("_v"),
+    )
+    from pyspark.sql import Window
+
+    test = (
+        base.filter(F.col("_id") % int(test_mod) == 0)
+        .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(int(max_test))
+    )
+    train = base.filter(F.col("_id") % int(test_mod) != 0)
+
+    t = test.select(
+        F.col("_id").alias("t_id"), F.col("_lbl").alias("t_lbl"),
+        F.col("_v").alias("t_v"),
+    )
+    r = train.select(
+        F.col("_id").alias("r_id"), F.col("_lbl").alias("r_lbl"),
+        F.col("_v").alias("r_v"),
+    )
+    scored = t.crossJoin(r).select(
+        "t_id",
+        "t_lbl",
+        "r_id",
+        "r_lbl",
+        F.floor(cosine(F.col("t_v"), F.col("r_v")) * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("cos_x1e6"),
+    ).filter(F.col("cos_x1e6").isNotNull())
+    w = Window.partitionBy("t_id").orderBy(F.desc("cos_x1e6"), F.col("r_id"))
+    topk = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= int(k)
+    )
+    votes = topk.groupBy("t_id", "t_lbl", "r_lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    pick = votes.groupBy("t_id", "t_lbl").agg(
+        F.max(F.struct(F.col("_cnt"), (-F.col("r_lbl")).alias("_neg"))).alias(
+            "_w"
+        )
+    )
+    return pick.select(
+        F.col("t_id").alias(id_col),
+        F.col("t_lbl").alias(label_col),
+        (-F.col("_w._neg")).cast("long").alias("pred_label"),
+        (F.col("t_lbl") == -F.col("_w._neg")).cast("int").alias("correct"),
+    )
