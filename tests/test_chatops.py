@@ -119,3 +119,47 @@ def test_sft_pipeline_invariants(spark):
         assert r.sum_kept_tok + r.sum_trunc_tok == r.sum_tok
         assert 0 <= r.loss_ppm <= 1_000_000
         assert r.n_batches >= (1 if r.sum_kept_tok > 0 else 0)
+
+
+def _py_sft(n_tok, turn_tokens=8, max_ctx=50):
+    """Independent pure-Python greedy simulation of sft_mask_stats."""
+    sizes = []
+    left = n_tok
+    while left > 0:
+        take = min(turn_tokens, left)
+        sizes.append(take)
+        left -= take
+    n_user = sum(s for i, s in enumerate(sizes) if i % 2 == 0)
+    kept_turns = kept_tok = 0
+    open_win = True
+    for s in sizes:
+        if open_win and kept_tok + s <= max_ctx:
+            kept_turns += 1
+            kept_tok += s
+        else:
+            open_win = False
+    return {
+        "n_tok": n_tok,
+        "n_turns": len(sizes),
+        "n_user_tok": n_user,
+        "n_asst_tok": n_tok - n_user,
+        "loss_ppm": int((n_tok - n_user) / n_tok * 1e6 + 0.5) if n_tok else 0,
+        "kept_turns": kept_turns,
+        "kept_tokens": kept_tok,
+        "trunc_tokens": n_tok - kept_tok,
+    }
+
+
+def test_sft_mask_exhaustive_0_to_120(spark):
+    # every turn-count shape around the window boundaries, one job
+    texts = [(n, _words(n)) for n in range(0, 121)]
+    df = spark.createDataFrame(
+        [(n, t) for n, t in texts], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in C.sft_mask_stats(df).collect()}
+    assert len(got) == 121
+    for n in range(0, 121):
+        exp = _py_sft(n)
+        r = got[n]
+        for k, v in exp.items():
+            assert getattr(r, k) == v, (n, k, getattr(r, k), v)
