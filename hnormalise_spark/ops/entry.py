@@ -5761,6 +5761,72 @@ def _oracle_exemplars() -> str:
     """
 
 
+def q_classifier_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold-sweep ROC of the hashing-trick classifier against
+    the heuristic quality gate — the audit before swapping the gold
+    scorer for the fast one."""
+    from hnormalise_spark.ops import textops as T
+
+    docs = spread_to_cores(
+        spark.read.parquet(f"{sf}/documents.parquet").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+    return T.classifier_roc(docs)
+
+
+def _oracle_classifier_roc() -> str:
+    d = QS_BUCKETS
+    thr = ", ".join(f"({t})" for t in range(-2000, 2001, 400))
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN []
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+             FROM docs),
+    tw AS (SELECT doc_id,
+             ('0x' || substr(md5('qsw|' ||
+                (('0x' || substr(md5('qsb|' || u.tok), 1, 15))::BIGINT % {d})::VARCHAR
+             ), 1, 15))::BIGINT % 2001 - 1000 AS wt
+           FROM toks, UNNEST(w) AS u(tok)),
+    agg AS (SELECT doc_id, sum(wt)::BIGINT AS s FROM tw GROUP BY 1),
+    q AS (SELECT doc_id,
+            floor(((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1)) * 0.6
+                   + CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(trim(text),
+                                                               '\\s+')) END)
+                               BETWEEN 5 AND 10000
+                          THEN 1.0 ELSE 0.3 END * 0.3
+                   + (1.0 - least((length(regexp_replace(text,
+                                    '[A-Za-z0-9 \\t\\n]', '', 'g'))
+                                   / greatest(length(text), 1)) * 4, 1.0))
+                     * 0.1)
+                  * 10000.0 + 0.5)::BIGINT >= 5000 AS truth
+          FROM docs),
+    score AS (SELECT q.doc_id, coalesce(a.s, 0) AS s, q.truth
+              FROM q LEFT JOIN agg a ON a.doc_id = q.doc_id),
+    tot AS (SELECT count(*)::BIGINT AS n,
+                   sum(truth::INT)::BIGINT AS pos FROM score),
+    thr(t) AS (VALUES {thr}),
+    c AS (SELECT t, count(*) FILTER (WHERE s >= t)::BIGINT AS np,
+                 count(*) FILTER (WHERE s >= t AND truth)::BIGINT AS tp
+          FROM score CROSS JOIN thr GROUP BY t)
+    SELECT t::BIGINT AS thr, np AS n_pred_pos, tp, (np - tp) AS fp,
+           CASE WHEN pos > 0
+                THEN floor(tp / pos * 1000000.0 + 0.5)::BIGINT ELSE 0 END
+             AS tpr_ppm,
+           CASE WHEN n - pos > 0
+                THEN floor((np - tp) / (n - pos) * 1000000.0 + 0.5)::BIGINT
+                ELSE 0 END AS fpr_ppm,
+           CASE WHEN np > 0
+                THEN floor(tp / np * 1000000.0 + 0.5)::BIGINT ELSE 0 END
+             AS prec_ppm
+    FROM c CROSS JOIN tot
+    """
+
+
 def q_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space kNN label eval: id-mod train/test split, exact
     cosine top-5 vote with fixed tie-breaks — the probe of whether
@@ -6506,6 +6572,7 @@ def queries():
         "chat_render": q_chat_render,
         "sft_pipeline": q_sft_pipeline,
         "knn_classify": q_knn_classify,
+        "classifier_roc": q_classifier_roc,
     }
 
 
@@ -6642,4 +6709,5 @@ def oracle_sql():
         "chat_render": _oracle_chat_render(),
         "sft_pipeline": _oracle_sft_pipeline(),
         "knn_classify": _oracle_knn_classify(),
+        "classifier_roc": _oracle_classifier_roc(),
     }

@@ -2354,3 +2354,95 @@ def exemplar_docs(
             F.col("_w.snip").alias("snippet"),
         )
     )
+
+
+def classifier_roc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    truth_x1e4: int = 5000,
+    thresholds: list[int] | None = None,
+    n_buckets: int = 512,
+    seed: str = "qs",
+) -> DataFrame:
+    """Threshold-sweep eval of the hashing-trick classifier against
+    the heuristic quality gate — the audit a pipeline runs BEFORE
+    swapping the expensive gold scorer for the fast one: treating
+    ``quality_score >= truth_x1e4`` as truth, report the confusion
+    counts and TPR/FPR/precision (integer ppm) at each classifier
+    score threshold. One row per threshold; plot it and you have the
+    ROC curve, pick the knee and you have the deployment threshold.
+
+    Scale shape: ONE corpus scan — both scores are in-row folds —
+    into a single map-side-combinable aggregate of |thresholds| x 2
+    conditional sums; the per-threshold rows come from unpivoting the
+    aggregated struct array, never from replicating the corpus
+    against the threshold list. ppm divisions run on the aggregated
+    integers (0 when the denominator is 0).
+    """
+    if thresholds is None:
+        thresholds = list(range(-2000, 2001, 400))
+    scored = quality_score_hashed(
+        df.filter(F.col(text_col).isNotNull()),
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        seed=seed,
+    ).join(
+        df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            (
+                F.floor(
+                    quality_score(F.col(text_col)) * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                >= int(truth_x1e4)
+            ).alias("_truth"),
+        ),
+        id_col,
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.when(F.col("_truth"), 1).otherwise(0)).cast("long")
+            .alias("_pos")]
+    for i, t in enumerate(thresholds):
+        pred = F.col("score_sum") >= int(t)
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(f"_p{i}")
+        )
+        aggs.append(
+            F.sum(F.when(pred & F.col("_truth"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_tp{i}")
+        )
+    g = scored.agg(*aggs)
+    rows = g.select(
+        "_n",
+        "_pos",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(t)).cast("long").alias("thr"),
+                        F.col(f"_p{i}").alias("n_pred_pos"),
+                        F.col(f"_tp{i}").alias("tp"),
+                    )
+                    for i, t in enumerate(thresholds)
+                ]
+            )
+        ).alias("_i", "_s"),
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num / den * F.lit(1e6) + F.lit(0.5))
+    ).otherwise(F.lit(0)).cast("long")
+    return rows.select(
+        F.col("_s.thr").alias("thr"),
+        F.col("_s.n_pred_pos").alias("n_pred_pos"),
+        F.col("_s.tp").alias("tp"),
+        (F.col("_s.n_pred_pos") - F.col("_s.tp")).alias("fp"),
+        ppm(F.col("_s.tp"), F.col("_pos")).alias("tpr_ppm"),
+        ppm(
+            F.col("_s.n_pred_pos") - F.col("_s.tp"),
+            F.col("_n") - F.col("_pos"),
+        ).alias("fpr_ppm"),
+        ppm(F.col("_s.tp"), F.col("_s.n_pred_pos")).alias("prec_ppm"),
+    )

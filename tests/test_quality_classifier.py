@@ -66,3 +66,35 @@ def test_plan_has_no_shuffle_and_no_python(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan  # pure JVM expressions only
+
+
+def test_classifier_roc_invariants(spark):
+    from hnormalise_spark.ops.textops import classifier_roc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = sorted(classifier_roc(docs).collect(), key=lambda r: r.thr)
+    assert len(rows) == 11
+    # monotone: raising the threshold can only shrink predicted-pos,
+    # TP, and both rates
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_pred_pos <= a.n_pred_pos
+        assert b.tp <= a.tp
+        assert b.tpr_ppm <= a.tpr_ppm
+        assert b.fpr_ppm <= a.fpr_ppm
+    for r in rows:
+        assert r.fp == r.n_pred_pos - r.tp >= 0
+        assert 0 <= r.tpr_ppm <= 1_000_000
+        assert 0 <= r.fpr_ppm <= 1_000_000
+    # lowest threshold (-2000 < min token weight sum can be anything,
+    # but scores are bounded well inside +-2000 only for short docs) —
+    # at least assert the sweep spans a non-trivial range
+    assert rows[0].n_pred_pos > rows[-1].n_pred_pos
+
+
+def test_classifier_roc_deterministic(spark):
+    from hnormalise_spark.ops.textops import classifier_roc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(classifier_roc(docs.repartition(1)).collect())
+    b = sorted(classifier_roc(docs.repartition(7)).collect())
+    assert a == b
