@@ -68,7 +68,7 @@ LEGS = [
     # fixed-size-bed LSH eval (its stamp SHOULD be ~flat — the
     # bounded-cost property is the thing being stamped)
     "sft_masking", "curriculum", "prefix_dedup", "dedup_eval",
-    "chat_render", "knn_classify",
+    "chat_render", "knn_classify", "classifier_roc",
 ]
 REPLICAS = 10
 
