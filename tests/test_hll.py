@@ -68,3 +68,26 @@ def test_sketch_is_bounded(spark):
     sk = SK.hll_sketch(_vals(spark, pairs), ["g"], "v", p=6)
     assert sk.count() <= 64
     assert all(1 <= r.reg <= SK.HLL_RHO_MAX for r in sk.collect())
+
+
+def test_registers_match_pure_python_replica(spark):
+    # third implementation beside the Spark expressions and the
+    # DuckDB oracle: hashlib md5 -> 60-bit value -> (register, rho)
+    import hashlib
+
+    p, m = 6, 64
+    vals = [f"user{i}" for i in range(200)]
+    expected = {}
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        j = h % m
+        w = h >> p
+        if w == 0:
+            rho = 55
+        else:
+            rho = (w & -w).bit_length()  # position of lowest set bit
+        expected[j] = max(expected.get(j, 0), rho)
+
+    sk = SK.hll_sketch(_vals(spark, [("g", v) for v in vals]), ["g"], "v", p=p)
+    got = {r.j: r.reg for r in sk.collect()}
+    assert got == expected
