@@ -587,6 +587,46 @@ def q_stream_route_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Third streaming correctness witness — the durable-sketch path:
+    events replayed as a TWO-file stream (maxFilesPerTrigger=1, so
+    the register merge happens across REAL micro-batches), each
+    batch appending its partial HLL registers as a committed
+    snapshot; read-time union+re-max then the estimator. By the max
+    merge law the result must equal the whole-corpus sketch — which
+    is exactly what the DuckDB oracle computes — so the driver gate
+    witnesses streaming snapshot append + replay-safe merge, not
+    just transform parity."""
+    import tempfile
+
+    from hnormalise_spark.ops import sketches as SK
+    from hnormalise_spark.streaming import read_hll_sketch, streaming_hll_sketch
+
+    tmp = tempfile.mkdtemp(prefix="hn_stream_hll_")
+    in_dir, sk_dir = os.path.join(tmp, "in"), os.path.join(tmp, "hll")
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.col("user_id").cast("long").alias("user_id")
+    )
+    # two files -> two micro-batches: split on a deterministic hash
+    for i in range(2):
+        ev.filter(F.crc32(F.col("user_id").cast("string")) % 2 == i).coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+    q = streaming_hll_sketch(
+        spark, in_dir, sk_dir, group_col="event_type",
+        value_col="user_id", p=6,
+    )
+    q.awaitTermination()
+    merged = read_hll_sketch(spark, sk_dir)
+    est = SK.hll_estimate(merged, ["event_type"], p=6)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_exact", "est_distinct_x1e3"
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Second streaming correctness witness: stateful exact-dedup
     (applyInPandasWithState, streaming.streaming_dedup_rows) over the
@@ -1423,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_snapshots": q_table_snapshots,
         "stream_route_counts": q_stream_route_counts,
         "stream_dedup": q_stream_dedup,
+        "stream_hll": q_stream_hll,
         "grok_sshd": q_grok_sshd,
         "grok_apache": q_grok_apache,
         "walltime_memory": q_walltime_memory,
@@ -1455,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "table_snapshots": _oracle_table_snapshots(),
         "stream_route_counts": _oracle_route_counts(),
         "stream_dedup": _oracle_stream_dedup(),
+        "stream_hll": ops_entry._oracle_hll_distinct(),
         "grok_sshd": _oracle_grok_sshd(),
         "grok_apache": _oracle_grok_apache(),
         "walltime_memory": _oracle_walltime_memory(),
