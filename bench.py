@@ -207,6 +207,7 @@ def main() -> int:
         "pipeline_wall_sec": round(wall, 2),
         "pipeline_steal_pct": pipe_steal,
         "pipeline_runs": pipe_runs,
+        "n_queries": len(q_secs),
         "queries": {k: round(v, 2) for k, v in q_secs.items()},
     }
     budget = 1900
