@@ -31,11 +31,12 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty/blank text → empty
-    array (F.split('') would yield [''])."""
-    return F.when(
-        F.trim(text) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(text), r"\s+"))
+    """Whitespace tokens (blank-safe) — the shared repo-wide
+    definition, so chat-turn counts can never drift from the
+    classifier/quality token counts."""
+    from hnormalise_spark.ops.textops import whitespace_tokens
+
+    return whitespace_tokens(text)
 
 
 def chat_turns(

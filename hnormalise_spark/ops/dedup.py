@@ -1144,8 +1144,13 @@ def minhash_recall_eval(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_t")
     )
-    bed0 = base.orderBy(F.md5(F.col("_id").cast("string")), "_id").limit(
-        int(sample)
+    # persist: bed0 feeds the plants, the LSH candidate branch, and
+    # the exact-truth branch — without it each subtree re-runs the
+    # corpus-wide TakeOrdered, turning the "one scan" harness into ~4
+    bed0 = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), "_id")
+        .limit(int(sample))
+        .persist()
     )
     # plant ids are the NEGATED space (-id-1): collision-proof against
     # any non-negative corpus id, unlike a fixed offset (a corpus whose

@@ -5864,13 +5864,13 @@ def _oracle_knn_classify() -> str:
       SELECT t_id, t_lbl, r_lbl, count(*)::BIGINT AS cnt
       FROM topk GROUP BY 1, 2, 3),
     pick AS (
-      SELECT t_id, t_lbl, r_lbl AS pred
+      SELECT t_id, r_lbl AS pred
       FROM v QUALIFY row_number() OVER (PARTITION BY t_id
                                         ORDER BY cnt DESC, r_lbl) = 1)
-    SELECT t_id AS vec_id, t_lbl::BIGINT AS label,
+    SELECT t.id AS vec_id, t.lbl::BIGINT AS label,
            pred::BIGINT AS pred_label,
-           (t_lbl = pred)::INT AS correct
-    FROM pick
+           CASE WHEN t.lbl = pred THEN 1 ELSE 0 END::INT AS correct
+    FROM t LEFT JOIN pick ON pick.t_id = t.id
     """
 
 
@@ -6068,6 +6068,53 @@ def _oracle_chat_render() -> str:
     """
 
 
+def _hll_oracle_prefix() -> str:
+    """Shared DuckDB replica of the HLL register build + estimator
+    (p=6): CTEs hv/r/sk/agg/est/fin ending with one row per
+    event_type carrying est_distinct_x1e3. Both HLL oracles (and any
+    future one) append their own final join to THIS prefix, so an
+    estimator correction can never apply to one oracle and not the
+    other."""
+    from hnormalise_spark.ops.sketches import (
+        hll_alpha,
+        hll_linear_counting_x1e3,
+        hll_w_bits,
+    )
+
+    p, m = 6, 64
+    w1 = hll_w_bits(p) + 1
+    numer = hll_alpha(m) * m * m * float(1 << w1)
+    lc = hll_linear_counting_x1e3(p)
+    hex15 = " + ".join(
+        f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
+        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
+        for j in range(15)
+    )
+    return f"""
+    hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
+    r AS (SELECT event_type, h % {m} AS j,
+                 CASE WHEN (h >> {p}) = 0 THEN {w1}
+                      ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
+                           ::INT + 1 END AS rho
+          FROM hv),
+    sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (SELECT event_type, count(*)::BIGINT AS np,
+                   sum(1::BIGINT << ({w1} - reg))::BIGINT AS sp
+            FROM sk GROUP BY 1),
+    est AS (SELECT event_type,
+                   ({m} - np)::INT AS v,
+                   {numer!r} / (sp + ({m} - np)
+                                * {1 << w1})::DOUBLE AS e_raw
+            FROM agg),
+    fin AS (SELECT event_type,
+                   CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
+                        THEN ([{", ".join(str(x) for x in lc)}])[v]
+                        ELSE floor(e_raw * 1000.0 + 0.5)::BIGINT
+                   END AS est_distinct_x1e3
+            FROM est)
+    """
+
+
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """HyperLogLog distinct users per event type (p=6, RSE ~13%),
     published beside the exact count like sketch_distinct — the two
@@ -6086,44 +6133,8 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_hll_distinct() -> str:
-    from hnormalise_spark.ops.sketches import (
-        hll_alpha,
-        hll_linear_counting_x1e3,
-        hll_w_bits,
-    )
-
-    p, m = 6, 64
-    w1 = hll_w_bits(p) + 1
-    numer = hll_alpha(m) * m * m * float(1 << w1)
-    lc = hll_linear_counting_x1e3(p)
-    hex15 = " + ".join(
-        f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
-        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
-        for j in range(15)
-    )
     return f"""
-    WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
-    r AS (SELECT event_type, h % {m} AS j,
-                 CASE WHEN (h >> {p}) = 0 THEN {w1}
-                      ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
-                           ::INT + 1 END AS rho
-          FROM hv),
-    sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
-    agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(1::BIGINT << ({w1} - reg))::BIGINT
-                     AS sp
-            FROM sk GROUP BY 1),
-    est AS (SELECT event_type,
-                   ({m} - np)::INT AS v,
-                   {numer!r} / (sp + ({m} - np)
-                                * {1 << w1})::DOUBLE AS e_raw
-            FROM agg),
-    fin AS (SELECT event_type,
-                   CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
-                        THEN ([{", ".join(str(x) for x in lc)}])[v]
-                        ELSE floor(e_raw * 1000.0 + 0.5)::BIGINT
-                   END AS est_distinct_x1e3
-            FROM est),
+    WITH {_hll_oracle_prefix()},
     e AS (SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
           FROM events GROUP BY 1)
     SELECT event_type, n_exact, est_distinct_x1e3
@@ -6156,44 +6167,8 @@ def q_hll_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _oracle_hll_rollup() -> str:
-    from hnormalise_spark.ops.sketches import (
-        hll_alpha,
-        hll_linear_counting_x1e3,
-        hll_w_bits,
-    )
-
-    p, m = 6, 64
-    w1 = hll_w_bits(p) + 1
-    numer = hll_alpha(m) * m * m * float(1 << w1)
-    lc = hll_linear_counting_x1e3(p)
-    hex15 = " + ".join(
-        f"{16 ** (14 - j)} * (strpos('0123456789abcdef', "
-        f"substr(md5(user_id::VARCHAR), {j + 1}, 1)) - 1)"
-        for j in range(15)
-    )
     return f"""
-    WITH hv AS (SELECT event_type, ({hex15})::BIGINT AS h FROM events),
-    r AS (SELECT event_type, h % {m} AS j,
-                 CASE WHEN (h >> {p}) = 0 THEN {w1}
-                      ELSE floor(log2(((h >> {p}) & (-(h >> {p})))::DOUBLE))
-                           ::INT + 1 END AS rho
-          FROM hv),
-    sk AS (SELECT event_type, j, max(rho) AS reg FROM r GROUP BY 1, 2),
-    agg AS (SELECT event_type, count(*)::BIGINT AS np,
-                   sum(1::BIGINT << ({w1} - reg))::BIGINT
-                     AS sp
-            FROM sk GROUP BY 1),
-    est AS (SELECT event_type,
-                   ({m} - np)::INT AS v,
-                   {numer!r} / (sp + ({m} - np)
-                                * {1 << w1})::DOUBLE AS e_raw
-            FROM agg),
-    fin AS (SELECT event_type,
-                   CASE WHEN v > 0 AND e_raw <= {2.5 * m!r}
-                        THEN ([{", ".join(str(x) for x in lc)}])[v]
-                        ELSE floor(e_raw * 1000.0 + 0.5)::BIGINT
-                   END AS est_distinct_x1e3
-            FROM est),
+    WITH {_hll_oracle_prefix()},
     d AS (SELECT event_type, COUNT(DISTINCT ts::DATE)::BIGINT AS n_days
           FROM events GROUP BY 1)
     SELECT event_type, n_days, est_distinct_x1e3

@@ -625,9 +625,11 @@ def knn_classify(
     across engines; the vote picks max count then SMALLEST label via
     a struct-max aggregate (map-side combinable — no second window).
 
-    Returns one row per test vector: id, true label, predicted label,
-    ``correct`` 0/1 — accuracy is one AVG away, left to the caller so
-    the per-row errors stay inspectable.
+    Returns one row per SAMPLED test vector — including ones with no
+    defined cosine against any train vector (zero-norm embeddings):
+    those emit pred_label NULL with correct = 0, so AVG(correct)
+    never silently shrinks its denominator. Accuracy is one AVG
+    away, left to the caller so the per-row errors stay inspectable.
 
     Scale shape: the test side is BOUNDED at ``max_test`` vectors
     (md5 top-S of the held-out split — deterministic on any engine),
@@ -675,14 +677,23 @@ def knn_classify(
     votes = topk.groupBy("t_id", "t_lbl", "r_lbl").agg(
         F.count(F.lit(1)).cast("long").alias("_cnt")
     )
-    pick = votes.groupBy("t_id", "t_lbl").agg(
+    pick = votes.groupBy("t_id").agg(
         F.max(F.struct(F.col("_cnt"), (-F.col("r_lbl")).alias("_neg"))).alias(
             "_w"
         )
     )
-    return pick.select(
-        F.col("t_id").alias(id_col),
-        F.col("t_lbl").alias(label_col),
-        (-F.col("_w._neg")).cast("long").alias("pred_label"),
-        (F.col("t_lbl") == -F.col("_w._neg")).cast("int").alias("correct"),
+    # left join back onto the SAMPLED test set: a test vector whose
+    # cosine is undefined everywhere still gets its row (pred NULL)
+    return (
+        t.select("t_id", "t_lbl")
+        .join(pick, "t_id", "left")
+        .select(
+            F.col("t_id").alias(id_col),
+            F.col("t_lbl").alias(label_col),
+            (-F.col("_w._neg")).cast("long").alias("pred_label"),
+            F.when(F.col("t_lbl") == -F.col("_w._neg"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
     )

@@ -508,8 +508,10 @@ def hll_w_bits(p: int) -> int:
     """rho-stream width for 2^p registers: 60-bit hash minus p index
     bits. rho ∈ [1, w_bits+1]; the absent-register mass m·2^(w+1) =
     2^61 for ANY p, so the integer harmonic sum never overflows."""
-    if not 4 <= p <= 16:
-        raise ValueError(f"p must be in [4, 16], got {p}")
+    # p >= 6 keeps m >= 64, the regime hll_alpha's bias constant is
+    # derived for (Flajolet et al. use different constants at m=16/32)
+    if not 6 <= p <= 16:
+        raise ValueError(f"p must be in [6, 16], got {p}")
     return HLL_HASH_BITS - p
 
 

@@ -443,6 +443,18 @@ def _words(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def whitespace_tokens(text: Column) -> Column:
+    """Blank-safe whitespace tokens: NULL or whitespace-only text →
+    empty array (F.split('') would yield ['']). THE shared
+    tokenization every oracle mirrors — chatops and the classifier
+    derive from this one definition so a future tweak cannot move
+    chat-turn counts and classifier token counts independently."""
+    return F.when(
+        text.isNull() | (F.trim(text) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
 def lm_unigram_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -1276,6 +1288,7 @@ def quality_score_hashed(
     id_col: str = "doc_id",
     n_buckets: int = 512,
     seed: str = "qs",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-style hashing-trick linear text scorer: every token
     hashes to one of ``n_buckets`` weight slots (collisions share a
@@ -1303,12 +1316,10 @@ def quality_score_hashed(
             - 1000
         )
 
-    blank = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
-    toks = F.when(blank, F.array().cast("array<string>")).otherwise(
-        _words(text_col)
-    )
+    toks = whitespace_tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.size(toks).cast("long").alias("n_tokens"),
         F.aggregate(
             toks, F.lit(0).cast("long"), lambda acc, t: acc + w(t)
@@ -2382,24 +2393,22 @@ def classifier_roc(
     """
     if thresholds is None:
         thresholds = list(range(-2000, 2001, 400))
+    # both scores are row-local folds over the same text column —
+    # compute them in ONE select (the truth rides through
+    # quality_score_hashed's extra_cols), so the documented one-scan
+    # shape is literal: no second corpus scan, no doc_id shuffle join
+    base = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "_truth",
+        F.floor(quality_score(F.col(text_col)) * F.lit(10000.0) + F.lit(0.5))
+        >= int(truth_x1e4),
+    )
     scored = quality_score_hashed(
-        df.filter(F.col(text_col).isNotNull()),
+        base,
         text_col=text_col,
         id_col=id_col,
         n_buckets=n_buckets,
         seed=seed,
-    ).join(
-        df.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col),
-            (
-                F.floor(
-                    quality_score(F.col(text_col)) * F.lit(10000.0)
-                    + F.lit(0.5)
-                )
-                >= int(truth_x1e4)
-            ).alias("_truth"),
-        ),
-        id_col,
+        extra_cols=("_truth",),
     )
     aggs = [F.count(F.lit(1)).cast("long").alias("_n"),
             F.sum(F.when(F.col("_truth"), 1).otherwise(0)).cast("long")

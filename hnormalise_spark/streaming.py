@@ -632,6 +632,53 @@ def failure_rate_alerts(
     )
 
 
+def _streaming_sketch(
+    spark: SparkSession,
+    in_dir: str,
+    sketch_path: str,
+    group_col: str,
+    value_col: str,
+    value_type: str,
+    max_files: int,
+    snapshot_prefix: str,
+    build,
+) -> StreamingQuery:
+    """Shared scaffold for snapshot-table streaming sketches: each
+    micro-batch runs ``build`` (any mergeable per-batch sketch) and
+    APPENDS the result as one committed snapshot; checkpoint layout,
+    trigger, and replay semantics live HERE once, so a fix cannot
+    silently apply to one sketch family and not the other."""
+    stream = (
+        spark.readStream.schema(f"{group_col} string, {value_col} {value_type}")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        from hnormalise_spark import table as T
+
+        T.write_snapshot(build(batch), sketch_path, f"{snapshot_prefix}-b{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(sketch_path, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _read_merged_sketch(
+    spark: SparkSession, sketch_path: str, value_cols: tuple, agg
+) -> DataFrame:
+    """Union all committed partial snapshots and re-aggregate — by the
+    merge law this equals the batch sketch of everything streamed."""
+    from hnormalise_spark import table as T
+
+    parts = T.read_committed(spark, sketch_path).drop("snapshot_id")
+    group_cols = [c for c in parts.columns if c not in value_cols]
+    return parts.groupBy(*group_cols).agg(agg)
+
+
 def streaming_kmin_sketch(
     spark: SparkSession,
     in_dir: str,
@@ -660,24 +707,12 @@ def streaming_kmin_sketch(
     (distinct-users-as-of-batch-N) and ``table.compact`` can fold old
     snapshots into one without changing any read.
     """
-    stream = (
-        spark.readStream.schema(f"{group_col} string, {value_col} {value_type}")
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(in_dir)
-    )
+    from hnormalise_spark.ops.sketches import kmin_sketch
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        from hnormalise_spark import table as T
-        from hnormalise_spark.ops.sketches import kmin_sketch
-
-        part = kmin_sketch(batch, [group_col], value_col, k=k)
-        T.write_snapshot(part, sketch_path, f"{snapshot_prefix}-b{batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(sketch_path, "_ck"))
-        .trigger(availableNow=True)
-        .start()
+    return _streaming_sketch(
+        spark, in_dir, sketch_path, group_col, value_col, value_type,
+        max_files, snapshot_prefix,
+        lambda b: kmin_sketch(b, [group_col], value_col, k=k),
     )
 
 
@@ -686,12 +721,8 @@ def read_kmin_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     snapshots: union + per-(group, i) re-min — by the merge law this
     EQUALS the batch sketch of everything ever streamed. One
     broadcast-sized aggregate over groups x k x snapshots rows."""
-    from hnormalise_spark import table as T
-
-    parts = T.read_committed(spark, sketch_path).drop("snapshot_id")
-    group_cols = [c for c in parts.columns if c not in ("i", "min_hash")]
-    return parts.groupBy(*group_cols, "i").agg(
-        F.min("min_hash").alias("min_hash")
+    return _read_merged_sketch(
+        spark, sketch_path, ("min_hash",), F.min("min_hash").alias("min_hash")
     )
 
 
@@ -715,24 +746,12 @@ def streaming_hll_sketch(
     case). Per-batch write is ≤ groups × 2^p rows of (group, j, reg)
     regardless of batch volume.
     """
-    stream = (
-        spark.readStream.schema(f"{group_col} string, {value_col} {value_type}")
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(in_dir)
-    )
+    from hnormalise_spark.ops.sketches import hll_sketch
 
-    def _sink(batch: DataFrame, batch_id: int) -> None:
-        from hnormalise_spark import table as T
-        from hnormalise_spark.ops.sketches import hll_sketch
-
-        part = hll_sketch(batch, [group_col], value_col, p=p)
-        T.write_snapshot(part, sketch_path, f"{snapshot_prefix}-b{batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", os.path.join(sketch_path, "_ck"))
-        .trigger(availableNow=True)
-        .start()
+    return _streaming_sketch(
+        spark, in_dir, sketch_path, group_col, value_col, value_type,
+        max_files, snapshot_prefix,
+        lambda b: hll_sketch(b, [group_col], value_col, p=p),
     )
 
 
@@ -740,8 +759,6 @@ def read_hll_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
     """Merged HLL registers from all committed partial snapshots:
     union + per-(group, j) re-max == the batch sketch of everything
     ever streamed."""
-    from hnormalise_spark import table as T
-
-    parts = T.read_committed(spark, sketch_path).drop("snapshot_id")
-    group_cols = [c for c in parts.columns if c not in ("j", "reg")]
-    return parts.groupBy(*group_cols, "j").agg(F.max("reg").alias("reg"))
+    return _read_merged_sketch(
+        spark, sketch_path, ("reg",), F.max("reg").alias("reg")
+    )

@@ -52,3 +52,11 @@ def test_deterministic_across_partitionings(spark):
     b = knn_classify(df.repartition(13), k=5).collect()
     key = lambda r: r.vec_id  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_zero_norm_test_vector_keeps_its_row(spark):
+    rows = _clustered(20) + [(100, [0.0] * 8, 7)]  # id 100 -> test split
+    out = {r.vec_id: r for r in knn_classify(_emb(spark, rows), k=3).collect()}
+    assert 100 in out  # the undefined-cosine row is NOT dropped
+    assert out[100].pred_label is None
+    assert out[100].correct == 0
