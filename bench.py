@@ -98,6 +98,12 @@ def timed(fn, retries: int = STEAL_RETRIES, min_runs: int = 1) -> tuple[float, f
 
 
 def main() -> int:
+    # --quick: smoke mode for interactive verification — small corpus,
+    # one pipeline run, no per-query leg. Same output shape.
+    if "--quick" in sys.argv[1:]:
+        os.environ.setdefault("SPARK_GRAFT_BENCH_LINES", "100000")
+        os.environ.setdefault("SPARK_GRAFT_PIPE_RUNS", "1")
+        os.environ.setdefault("SPARK_GRAFT_SKIP_QUERIES", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_lines = int(os.environ.get("SPARK_GRAFT_BENCH_LINES", "2000000"))
